@@ -1,0 +1,51 @@
+"""Inference configuration.
+
+The reference drives its iterative-inference engine through GPyTorch context
+managers (``gpytorch.settings.max_cholesky_size / cg_tolerance /
+max_cg_iterations / fast_pred_var``; see reference
+``manifold_gp/utils/train_model.py:21,66`` and ``utils/test_model.py:11``).
+Here those implicit, dynamically-scoped settings become one explicit, hashable
+dataclass that is threaded through every solver entry point — which also makes
+it a static jit argument, so changing tolerances recompiles instead of
+silently retracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Settings for the matrix-free inference engine.
+
+    Attributes:
+      max_cholesky: operators of size <= this are densified (via batched
+        matvecs on the identity) and handled with exact Cholesky
+        factorizations; larger operators use CG + stochastic Lanczos
+        quadrature. Mirrors ``gpytorch.settings.max_cholesky_size``.
+      cg_tolerance: relative residual tolerance for CG termination.
+      cg_max_iter: hard iteration cap for CG (static under jit).
+      num_probes: number of Rademacher probe vectors for SLQ / Hutchinson
+        estimators (the stochastic log-det path).
+      lanczos_max_iter: Lanczos steps per probe in SLQ.
+      eigh_max_size: graphs up to this many nodes use dense ``jnp.linalg.eigh``
+        for the spectral basis; beyond it, the matrix-free Lanczos eigensolver.
+      dense_operator_max_size: graphs up to this many nodes run the Laplacian
+        matvec through an assembled dense matrix on the MXU instead of the
+        sparse gather path (small-N fast path; identical numerics).
+    """
+
+    max_cholesky: int = 800
+    cg_tolerance: float = 1e-2
+    cg_max_iter: int = 1000
+    num_probes: int = 64
+    lanczos_max_iter: int = 96
+    eigh_max_size: int = 16384
+    dense_operator_max_size: int = 4096
+
+    def replace(self, **kw) -> "InferenceConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = InferenceConfig()

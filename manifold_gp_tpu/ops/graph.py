@@ -1,0 +1,164 @@
+"""Symmetric kNN graph construction and sparse layouts.
+
+Reproduces the exact edge-list semantics of the reference graph builder
+(``manifold_gp/utils/nearest_neighbors.py:39-55``):
+
+  * search k neighbors *including* the self-match, then drop column 0
+    (so ``nearest_neighbors=k`` yields k-1 non-self neighbors per node);
+  * orient every directed edge upper-triangular: (r, c) with c > r kept,
+    (r, c) with c <= r flipped to (c, r);
+  * merge duplicate pairs with a mean over their values
+    (``torch_sparse.coalesce(op='mean')`` equivalent).
+
+On top of the coalesced COO triu list we additionally build a padded ELL
+(fixed-width adjacency-list) layout: each node's incident edges (both
+directions of the symmetric adjacency) are stored in up to ``max_degree``
+slots. Fixed degree <= 2(k-1) makes ELL padding cheap, all shapes static for
+XLA, and turns the SpMV into a dense gather the TPU handles well (the
+reference instead leans on torch_sparse's CUDA COO spmm,
+``operators/graph_laplacian_operator.py:118-119``).
+
+The coalesce / ELL assembly is a one-time host-side step (numpy); a native
+C++ path for very large graphs lives in native/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .knn import knn_search
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SparseGraph:
+    """Static structure of a symmetric kNN graph.
+
+    COO fields hold the coalesced upper-triangular edge list; ELL fields hold
+    the per-node incident-edge table used by the gather SpMV.
+    """
+
+    rows: jnp.ndarray  # [M] int32, row < col (ties keep row == col)
+    cols: jnp.ndarray  # [M] int32
+    sqdist: jnp.ndarray  # [M] float32 squared L2 edge lengths (mean-coalesced)
+    mask: jnp.ndarray  # [M] float32, 1 = valid edge, 0 = padding
+    ell_edge: jnp.ndarray  # [N, D] int32 index into the edge arrays
+    ell_col: jnp.ndarray  # [N, D] int32 neighbor node id
+    ell_mask: jnp.ndarray  # [N, D] float32
+    num_nodes: int
+    max_degree: int
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        children = (
+            self.rows,
+            self.cols,
+            self.sqdist,
+            self.mask,
+            self.ell_edge,
+            self.ell_col,
+            self.ell_mask,
+        )
+        aux = (self.num_nodes, self.max_degree)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, num_nodes=aux[0], max_degree=aux[1])
+
+    @property
+    def num_edges(self) -> int:
+        return self.rows.shape[0]
+
+
+def coalesce_mean(rows, cols, vals, num_nodes):
+    """Merge duplicate (row, col) pairs, averaging their values.
+
+    Equivalent to ``torch_sparse.coalesce(op='mean')`` as used at reference
+    ``utils/nearest_neighbors.py:51``. Host-side numpy; returns sorted COO.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, np.float64)
+    key = rows * num_nodes + cols
+    order = np.argsort(key, kind="stable")
+    key_s, val_s = key[order], vals[order]
+    boundary = np.empty(key_s.shape[0], bool)
+    boundary[0] = True
+    boundary[1:] = key_s[1:] != key_s[:-1]
+    starts = np.flatnonzero(boundary)
+    sums = np.add.reduceat(val_s, starts)
+    counts = np.diff(np.append(starts, key_s.shape[0]))
+    ukey = key_s[starts]
+    return (
+        (ukey // num_nodes).astype(np.int32),
+        (ukey % num_nodes).astype(np.int32),
+        (sums / counts).astype(np.float32),
+    )
+
+
+def _build_ell(rows, cols, num_nodes):
+    """Padded per-node incident-edge table for the symmetric adjacency."""
+    m = rows.shape[0]
+    owners = np.concatenate([rows, cols])
+    nbrs = np.concatenate([cols, rows])
+    eids = np.concatenate([np.arange(m), np.arange(m)]).astype(np.int64)
+    order = np.argsort(owners, kind="stable")
+    owners, nbrs, eids = owners[order], nbrs[order], eids[order]
+    counts = np.bincount(owners, minlength=num_nodes)
+    max_degree = int(counts.max()) if m else 1
+    offsets = np.zeros(num_nodes, np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    slots = np.arange(owners.shape[0]) - offsets[owners]
+    ell_edge = np.zeros((num_nodes, max_degree), np.int32)
+    ell_col = np.zeros((num_nodes, max_degree), np.int32)
+    ell_mask = np.zeros((num_nodes, max_degree), np.float32)
+    ell_edge[owners, slots] = eids
+    ell_col[owners, slots] = nbrs
+    ell_mask[owners, slots] = 1.0
+    return ell_edge, ell_col, ell_mask, max_degree
+
+
+def graph_from_edges(rows, cols, sqdist, num_nodes) -> SparseGraph:
+    """Assemble a SparseGraph from an already-coalesced triu edge list."""
+    rows = np.asarray(rows, np.int32)
+    cols = np.asarray(cols, np.int32)
+    sqdist = np.asarray(sqdist, np.float32)
+    ell_edge, ell_col, ell_mask, max_degree = _build_ell(rows, cols, num_nodes)
+    return SparseGraph(
+        rows=jnp.asarray(rows),
+        cols=jnp.asarray(cols),
+        sqdist=jnp.asarray(sqdist),
+        mask=jnp.ones(rows.shape[0], jnp.float32),
+        ell_edge=jnp.asarray(ell_edge),
+        ell_col=jnp.asarray(ell_col),
+        ell_mask=jnp.asarray(ell_mask),
+        num_nodes=int(num_nodes),
+        max_degree=max_degree,
+    )
+
+
+def build_graph(x, nearest_neighbors: int) -> SparseGraph:
+    """kNN graph with the reference's exact construction semantics
+    (search k incl. self, drop self column, triu-orient, mean-coalesce)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    sqd, idx = knn_search(x, x, nearest_neighbors, self_query=True)
+    sqd = np.asarray(sqd[:, 1:])
+    idx = np.asarray(idx[:, 1:])
+    k_eff = nearest_neighbors - 1
+    rows = np.repeat(np.arange(n, dtype=np.int64), k_eff)
+    cols = idx.reshape(-1).astype(np.int64)
+    vals = sqd.reshape(-1)
+    # Upper-triangular orientation, matching the reference's split on
+    # cols > rows (utils/nearest_neighbors.py:49-50): c > r kept as (r, c),
+    # c <= r flipped to (c, r).
+    flip = ~(cols > rows)
+    r2 = np.where(flip, cols, rows)
+    c2 = np.where(flip, rows, cols)
+    ur, uc, uv = coalesce_mean(r2, c2, vals, n)
+    return graph_from_edges(ur, uc, uv, n)

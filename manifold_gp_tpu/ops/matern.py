@@ -1,0 +1,115 @@
+"""Operator compositions: Matérn precision, scale / noise wrappers, Schur.
+
+Functional equivalents of the reference's matrix-free LinearOperator stack:
+  * PrecisionMaternOperator (``operators/precision_matern_operator.py:26-35``):
+    Q = (2 nu / l^2 I + L)^nu applied as nu repetitions of
+    ``out <- (out + (l^2/2nu) L out) / (l^2/2nu)``; for randomwalk
+    normalization the output is post-multiplied by the degree to symmetrize.
+  * ScaleWrapperOperator (``operators/scale_wrapper_operator.py:27-28``):
+    multiplies (or divides, inverse_scale) the matvec by a scalar. NOTE the
+    reference's training path wraps the precision with inverse_scale=False
+    (``models/riemann_gp.py:35``) so "outputscale" multiplies the *precision*
+    during training — the _average_variance normalization protocol compensates
+    (see SURVEY §2.1); we preserve that asymmetry exactly.
+  * NoiseWrapperOperator (``operators/noise_wrapper_operator.py:21-22``):
+    truncated Neumann series (K + s^2 I)^{-1} ~= Q - s^2 Q^2 + s^4 Q^3,
+    evaluated as nested matvecs Q(v - s^2 Q(v - s^2 Q v)).
+  * SchurComplementOperator (``operators/schur_complement_operator.py:27-30``):
+    labeled-block effective precision Q_xx - Q_xz Q_zz^{-1} Q_zx with an inner
+    CG solve on the unlabeled block per outer matvec (nested Krylov). The
+    inner solve is differentiable via the implicit-function VJP in ops.cg.
+
+Each builder returns a matvec closure [n, B] -> [n, B]; closures may capture
+traced values (handled downstream with jax.closure_convert).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import SparseGraph
+from .laplacian import LaplacianCoeffs, laplacian_matvec
+
+
+def make_matern_precision_matvec(
+    graph: SparseGraph,
+    coeffs: LaplacianCoeffs,
+    nu: int,
+    lengthscale,
+    normalization: str = "randomwalk",
+    dense: Optional[jnp.ndarray] = None,
+) -> Callable:
+    """Q = (2 nu / l^2 I + L)^nu (with randomwalk symmetrization)."""
+    diag = jnp.square(jnp.reshape(lengthscale, ())) / (2.0 * nu)
+
+    def matvec(v):
+        out = v
+        for _ in range(nu):
+            lv = laplacian_matvec(graph, coeffs, out, normalization, dense=dense)
+            out = (out + diag * lv) / diag
+        if normalization == "randomwalk":
+            deg = coeffs.deg if out.ndim == 1 else coeffs.deg[:, None]
+            out = out * deg
+        return out
+
+    return matvec
+
+
+def make_scaled_matvec(matvec: Callable, scale, inverse_scale: bool = False) -> Callable:
+    s = jnp.reshape(scale, ())
+    if inverse_scale:
+        return lambda v: matvec(v) / s
+    return lambda v: matvec(v) * s
+
+
+def make_noisy_matvec(matvec: Callable, noise) -> Callable:
+    """Truncated-Neumann noisy precision Q - s2 Q^2 + s2^2 Q^3."""
+    s2 = jnp.reshape(noise, ())
+
+    def mv(v):
+        return matvec(v - s2 * matvec(v - s2 * matvec(v)))
+
+    return mv
+
+
+def make_schur_matvec(
+    base_matvec: Callable,
+    labeled_idx: np.ndarray,
+    unlabeled_idx: np.ndarray,
+    n: int,
+    cg_tol: float = 1e-2,
+    cg_max_iter: int = 1000,
+) -> Callable:
+    """Effective labeled-block precision via an inner CG on the unlabeled
+    block. ``labeled_idx`` / ``unlabeled_idx`` are static index arrays."""
+    from .cg import cg_solve
+
+    labeled_idx = jnp.asarray(np.asarray(labeled_idx, np.int32))
+    unlabeled_idx = jnp.asarray(np.asarray(unlabeled_idx, np.int32))
+
+    def mv(v):
+        squeeze = v.ndim == 1
+        vv = v[:, None] if squeeze else v
+        b = vv.shape[1]
+        full = jnp.zeros((n, b), vv.dtype).at[labeled_idx].set(vv)
+        t = base_matvec(full)
+
+        def inner(u):
+            fu = jnp.zeros((n, u.shape[1]), u.dtype).at[unlabeled_idx].set(u)
+            return base_matvec(fu)[unlabeled_idx]
+
+        sol = cg_solve(inner, t[unlabeled_idx], tol=cg_tol, max_iter=cg_max_iter)
+        fs = jnp.zeros((n, b), vv.dtype).at[unlabeled_idx].set(sol)
+        out = t[labeled_idx] - base_matvec(fs)[labeled_idx]
+        return out[:, 0] if squeeze else out
+
+    return mv
+
+
+def labeled_split(labeled_mask: np.ndarray):
+    """Boolean mask [N] -> (labeled_idx, unlabeled_idx) static index arrays."""
+    mask = np.asarray(labeled_mask, bool)
+    return np.flatnonzero(mask), np.flatnonzero(~mask)
