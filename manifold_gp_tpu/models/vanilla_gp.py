@@ -1,0 +1,110 @@
+"""Vanilla (Euclidean) exact GP baseline.
+
+Equivalent of the reference ``VanillaGP`` (``manifold_gp/models/vanilla_gp.py:7-36``)
+with GPyTorch's ScaleKernel + GaussianLikelihood folded in: constant mean,
+outputscale, noise, dense-Cholesky exact marginal likelihood and posterior.
+The default noise constraint mirrors GPyTorch's GaussianLikelihood default
+(GreaterThan(1e-4)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, InferenceConfig
+from ..parameters import ConstrainedParam, GreaterThan, Positive
+from .riemann_gp import Posterior
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class VanillaGP:
+    def __init__(
+        self,
+        train_x,
+        train_y,
+        kernel,
+        noise_constraint=None,
+        cfg: InferenceConfig = DEFAULT_CONFIG,
+    ):
+        self.train_x = jnp.asarray(train_x, jnp.float32)
+        self.train_y = jnp.asarray(train_y, jnp.float32)
+        self.kernel = kernel
+        self.cfg = cfg
+        self._noise_decl = ConstrainedParam(
+            "noise",
+            noise_constraint if noise_constraint is not None else GreaterThan(1e-4),
+        )
+        self._outputscale_decl = ConstrainedParam("outputscale", Positive())
+
+    def init_params(
+        self,
+        noise: float = None,
+        outputscale: float = None,
+        lengthscale: float = None,
+        mean_constant: float = 0.0,
+    ) -> dict:
+        params = self.kernel.init_params(lengthscale=lengthscale)
+        params["raw_noise"] = self._noise_decl.init_raw(noise)
+        params["raw_outputscale"] = self._outputscale_decl.init_raw(outputscale)
+        params["mean_constant"] = jnp.asarray(mean_constant, jnp.float32)
+        return params
+
+    def noise(self, params):
+        return self._noise_decl.value(params)
+
+    def outputscale(self, params):
+        return self._outputscale_decl.value(params)
+
+    @property
+    def num_data(self) -> int:
+        return int(self.train_y.shape[0])
+
+    def _train_covar(self, params):
+        s = jnp.reshape(self.outputscale(params), ())
+        k = s * self.kernel.gram(params, self.train_x)
+        return k + jnp.reshape(self.noise(params), ()) * jnp.eye(
+            k.shape[0], dtype=k.dtype
+        )
+
+    def mll_loss(self, params, key=None):
+        """Negative exact marginal log likelihood / n (the quantity
+        ``vanilla_train`` minimizes via gpytorch's ExactMarginalLogLikelihood,
+        reference ``utils/train_model.py:13-22``)."""
+        n = self.num_data
+        resid = self.train_y - params["mean_constant"]
+        kmat = self._train_covar(params)
+        chol = jnp.linalg.cholesky(kmat)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), resid[:, None])[:, 0]
+        quad = jnp.dot(resid, alpha, precision=_HIGHEST)
+        ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi)) / n
+
+    def eval(self, params):
+        kmat = self._train_covar(params)
+        chol = jnp.linalg.cholesky(kmat)
+        resid = self.train_y - params["mean_constant"]
+        alpha = jax.scipy.linalg.cho_solve((chol, True), resid[:, None])[:, 0]
+        self._cache = dict(chol=chol, alpha=alpha)
+        return self
+
+    def posterior(self, params, x, noisy_posterior: bool = False) -> Posterior:
+        x = jnp.asarray(x, jnp.float32)
+        cache = self._cache
+        s = jnp.reshape(self.outputscale(params), ())
+        k_star = s * self.kernel.gram(params, self.train_x, x)  # [n_train, n*]
+        mean = params["mean_constant"] + jnp.matmul(
+            k_star.T, cache["alpha"][:, None], precision=_HIGHEST
+        )[:, 0]
+        v = jax.scipy.linalg.solve_triangular(cache["chol"], k_star, lower=True)
+        k_ss = s * self.kernel.gram(params, x)
+        covar = k_ss - jnp.matmul(v.T, v, precision=_HIGHEST)
+        if noisy_posterior:
+            covar = covar + jnp.reshape(self.noise(params), ()) * jnp.eye(
+                covar.shape[0], dtype=covar.dtype
+            )
+        stddev = jnp.sqrt(jnp.maximum(jnp.diagonal(covar), 0.0))
+        return Posterior(mean=mean, covar=covar, stddev=stddev)
