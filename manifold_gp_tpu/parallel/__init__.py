@@ -1,0 +1,20 @@
+from .mesh import (
+    ShardingContext,
+    active_context,
+    constrain_nodes,
+    constrain_probes,
+    make_mesh,
+    use_mesh,
+)
+from .spmv import sharded_adjacency_matvec, shard_graph_rows
+
+__all__ = [
+    "ShardingContext",
+    "active_context",
+    "constrain_nodes",
+    "constrain_probes",
+    "make_mesh",
+    "use_mesh",
+    "sharded_adjacency_matvec",
+    "shard_graph_rows",
+]

@@ -1,0 +1,85 @@
+"""Explicit row-sharded SpMV via shard_map.
+
+For graphs that outgrow one chip, the symmetric-adjacency matvec is sharded
+by contiguous row blocks: each device owns N/ndev rows of the ELL table and
+the corresponding output rows; the input vector block is all-gathered over
+ICI once per matvec (for kNN graphs nnz/N = O(k), so gathering the [N, B]
+operand is the bandwidth-optimal schedule until N*B exceeds HBM — a
+ppermute ring schedule can replace it beyond that).
+
+The edge-value array (one scalar per coalesced edge) is replicated: it is
+k/2 floats per node and is re-derived from the learnable bandwidth each step
+anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.graph import SparseGraph
+from .mesh import NODE_AXIS
+
+
+def shard_graph_rows(graph: SparseGraph, mesh: Mesh):
+    """Pad the ELL table to a device-divisible row count and lay it out
+    row-sharded. Returns (ell_edge, ell_col, ell_mask, n_padded)."""
+    ndev = mesh.devices.size
+    n = graph.num_nodes
+    pad = (-n) % ndev
+
+    def pad_rows(a):
+        a = np.asarray(a)
+        if pad:
+            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        return a
+
+    sh = NamedSharding(mesh, P(NODE_AXIS, None))
+    ell_edge = jax.device_put(pad_rows(graph.ell_edge), sh)
+    ell_col = jax.device_put(pad_rows(graph.ell_col), sh)
+    ell_mask = jax.device_put(pad_rows(graph.ell_mask), sh)
+    return ell_edge, ell_col, ell_mask, n + pad
+
+
+def sharded_adjacency_matvec(ell_edge, ell_col, ell_mask, triu, v, mesh: Mesh):
+    """A_sym @ v with row-sharded rows and an all-gathered operand.
+
+    Args:
+      ell_edge/ell_col/ell_mask: [Np, D] row-sharded ELL table (padded).
+      triu: [M] replicated edge values.
+      v: [Np, B] row-sharded operand (padding rows must be zero).
+    Returns: [Np, B] row-sharded result.
+    """
+
+    def block(ee, ec, em, triu_full, v_blk):
+        v_full = jax.lax.all_gather(v_blk, NODE_AXIS, axis=0, tiled=True)
+        ev = triu_full[ee] * em  # [rows/dev, D]
+
+        def step(acc, args):
+            col, val = args
+            return acc + val[:, None] * v_full[col], None
+
+        # zeros_like keeps the carry varying over the manual mesh axis
+        # (jax>=0.8 vma typing), unlike a fresh jnp.zeros.
+        acc0 = jnp.zeros_like(v_blk)
+        out, _ = jax.lax.scan(step, acc0, (ec.T, ev.T))
+        return out
+
+    fn = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(
+            P(NODE_AXIS, None),
+            P(NODE_AXIS, None),
+            P(NODE_AXIS, None),
+            P(),
+            P(NODE_AXIS, None),
+        ),
+        out_specs=P(NODE_AXIS, None),
+    )
+    return fn(ell_edge, ell_col, ell_mask, triu, v)
