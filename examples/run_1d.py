@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""1D dumbbell experiments (supervised & semisupervised) as CLI scripts.
+
+Replicates the reference notebooks ``examples/1D_supervised_learning.ipynb``
+and ``1D_semisupervised_learning.ipynb`` end to end: same seed-1337 torch
+split, same y-noise/normalization, same hyperparameter initialization and
+training schedule. Parity targets (reference notebook outputs):
+  supervised:     IMGP RMSE 0.0144 / NLL -1.9510; vanilla 0.0552 / -1.2281
+  semisupervised: IMGP RMSE 0.3881 / NLL -3.2100; vanilla 0.9982 / -3.0384
+
+Usage: python examples/run_1d.py [supervised|semisupervised] [--verbose]
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+# allow running from a source checkout without installation
+import sys as _sys
+_sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["supervised", "semisupervised"])
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--max-iter", type=int, default=None)
+    ap.add_argument("--save", type=str, default=None)
+    args = ap.parse_args()
+    semisup = args.mode == "semisupervised"
+
+    import torch  # torch (CPU) only for the exact reference RNG split
+
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from manifold_gp_tpu import (
+        GreaterThan,
+        InferenceConfig,
+        RBFKernel,
+        RiemannGP,
+        RiemannMaternKernel,
+        VanillaGP,
+    )
+    from manifold_gp_tpu.utils import (
+        manifold_1D_dataset,
+        manifold_informed_train,
+        test_model,
+        vanilla_train,
+        save_params,
+    )
+
+    sampled_x, sampled_y, _ = manifold_1D_dataset()
+    n = sampled_x.shape[0]
+
+    # Exact reference split: torch.manual_seed(1337); scatter of randperm[:10]
+    # (notebook cell "af216c23").
+    num_test = 10
+    torch.manual_seed(1337)
+    test_idx = (
+        torch.zeros(n).scatter_(0, torch.randperm(n)[:num_test], 1).bool().numpy()
+    )
+    if semisup:
+        # semisup: the 10 drawn indices are the *labeled* set, graph over all
+        # nodes, test = the rest (notebook cell "af216c23" semisup variant)
+        labeled = test_idx.copy()
+        train_x, train_y = sampled_x[labeled], sampled_y[labeled]
+        test_x, test_y = sampled_x[~labeled], sampled_y[~labeled]
+    else:
+        train_x, test_x = sampled_x[~test_idx], sampled_x[test_idx]
+        train_y, test_y = sampled_y[~test_idx], sampled_y[test_idx]
+
+    # y-noise + normalization (notebook: noise_train_y=0.01, normalize_y=True)
+    train_y = train_y + 0.01 * torch.randn(train_y.shape[0]).numpy()
+    mu_y, std_y = train_y.mean(), train_y.std(ddof=1)
+    train_y = (train_y - mu_y) / std_y
+    test_y = (test_y - mu_y) / std_y
+
+    cfg = InferenceConfig(max_cholesky=2000, cg_tolerance=1e-2, cg_max_iter=1000)
+    kernel = RiemannMaternKernel(
+        nu=1,
+        x=sampled_x if semisup else train_x,
+        nearest_neighbors=10,
+        laplacian_normalization="randomwalk",
+        num_modes=50,
+        bump_scale=10.0,
+        bump_decay=1.0,
+        cfg=cfg,
+    )
+    model = RiemannGP(
+        train_x,
+        train_y,
+        kernel,
+        labeled=labeled if semisup else None,
+        noise_constraint=GreaterThan(1e-8),
+        cfg=cfg,
+    )
+    params = model.init_params(
+        noise=1e-2, outputscale=1.0, graphbandwidth=1.0, lengthscale=1.0
+    )
+
+    t0 = time.time()
+    if semisup:
+        from manifold_gp_tpu.utils import ReduceLROnPlateau
+
+        params, loss, _ = manifold_informed_train(
+            model,
+            params,
+            lr=1e-1,
+            weight_decay=0.0,
+            max_iter=args.max_iter or 500,
+            tolerance=1e-2,
+            update_norm=100,
+            num_rand_vec=100,
+            scheduler=ReduceLROnPlateau(factor=0.5, patience=50, threshold=1e-3),
+            verbose=args.verbose,
+        )
+    else:
+        params, loss, _ = manifold_informed_train(
+            model,
+            params,
+            lr=1e-1,
+            weight_decay=1e-8,
+            max_iter=args.max_iter or 100,
+            tolerance=1e-2,
+            num_rand_vec=100,
+            verbose=args.verbose,
+        )
+    print(f"[manifold] final loss {loss:.4f} ({time.time()-t0:.1f}s)", file=sys.stderr)
+
+    rmse, nll = test_model(model, params, test_x, test_y, noisy_test=True)
+    print(f"RMSE Geometric: {rmse:.4f}")
+    print(f"NLL Geometric: {nll:.4f}")
+
+    # Vanilla baseline (ScaleKernel(RBF); lengthscale init 0.5 supervised /
+    # 1.0 semisup per the notebooks).
+    vmodel = VanillaGP(train_x, train_y, RBFKernel(), cfg=cfg)
+    vparams = vmodel.init_params(
+        noise=1e-2, outputscale=1.0, lengthscale=0.5 if not semisup else 1.0
+    )
+    vparams, vloss, _ = vanilla_train(
+        vmodel, vparams, lr=1e-1, weight_decay=1e-8 if not semisup else 0.0,
+        max_iter=args.max_iter or 100, tolerance=1e-2, verbose=args.verbose,
+    )
+    vrmse, vnll = test_model(vmodel, vparams, test_x, test_y, noisy_test=True)
+    print(f"RMSE Vanilla: {vrmse:.4f}")
+    print(f"NLL Vanilla: {vnll:.4f}")
+
+    if args.save:
+        save_params(params, args.save)
+
+
+if __name__ == "__main__":
+    main()

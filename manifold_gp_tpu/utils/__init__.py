@@ -1,0 +1,27 @@
+from .checkpoint import load_params, save_params
+from .datasets import (
+    manifold_1D_dataset,
+    manifold_2D_dataset,
+    parse_msh,
+    parse_stl,
+    rmnist_dataset,
+    rotate_mnist,
+)
+from .evaluate import gaussian_nll, test_model
+from .train import ReduceLROnPlateau, manifold_informed_train, vanilla_train
+
+__all__ = [
+    "load_params",
+    "save_params",
+    "manifold_1D_dataset",
+    "manifold_2D_dataset",
+    "parse_msh",
+    "parse_stl",
+    "rmnist_dataset",
+    "rotate_mnist",
+    "gaussian_nll",
+    "test_model",
+    "ReduceLROnPlateau",
+    "manifold_informed_train",
+    "vanilla_train",
+]
