@@ -1,0 +1,80 @@
+"""kNN search + graph construction semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from manifold_gp_tpu.ops.graph import build_graph, coalesce_mean
+from manifold_gp_tpu.ops.knn import knn_search
+
+
+def test_knn_exact_small(rng):
+    x = rng.standard_normal((50, 3)).astype(np.float32)
+    q = rng.standard_normal((7, 3)).astype(np.float32)
+    d, i = knn_search(x, q, 5)
+    # numpy oracle
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    oi = np.argsort(full, axis=1)[:, :5]
+    od = np.take_along_axis(full, oi, axis=1)
+    np.testing.assert_allclose(np.asarray(d), od, rtol=1e-4, atol=1e-4)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_knn_self_query_pins_diagonal(rng):
+    x = rng.standard_normal((40, 4)).astype(np.float32)
+    d, i = knn_search(x, x, 4, self_query=True)
+    assert np.array_equal(np.asarray(i[:, 0]), np.arange(40))
+    np.testing.assert_allclose(np.asarray(d[:, 0]), 0.0, atol=1e-5)
+
+
+def test_knn_blocking_matches_unblocked(rng):
+    x = rng.standard_normal((300, 5)).astype(np.float32)
+    d1, i1 = knn_search(x, x, 6, self_query=True, block_size=64)
+    d2, i2 = knn_search(x, x, 6, self_query=True, block_size=512)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_coalesce_mean():
+    rows = [0, 0, 1, 0]
+    cols = [1, 2, 2, 1]
+    vals = [1.0, 4.0, 5.0, 3.0]
+    r, c, v = coalesce_mean(rows, cols, vals, 3)
+    assert list(r) == [0, 0, 1]
+    assert list(c) == [1, 2, 2]
+    np.testing.assert_allclose(v, [2.0, 4.0, 5.0])
+
+
+def test_build_graph_structure(small_cloud):
+    x, _ = small_cloud
+    k = 6
+    g = build_graph(x, k)
+    rows, cols = np.asarray(g.rows), np.asarray(g.cols)
+    # upper-triangular orientation
+    assert np.all(rows <= cols)
+    # no duplicate pairs
+    keys = rows.astype(np.int64) * g.num_nodes + cols
+    assert np.unique(keys).shape[0] == keys.shape[0]
+    # every node has at least k-1 incident edges
+    deg = np.bincount(rows, minlength=g.num_nodes) + np.bincount(
+        cols, minlength=g.num_nodes
+    )
+    assert deg.min() >= k - 1
+    # ELL table is consistent with the COO list
+    ell_edge = np.asarray(g.ell_edge)
+    ell_col = np.asarray(g.ell_col)
+    ell_mask = np.asarray(g.ell_mask)
+    for node in [0, 5, g.num_nodes - 1]:
+        for s in range(g.max_degree):
+            if ell_mask[node, s]:
+                e = ell_edge[node, s]
+                assert {rows[e], cols[e]} == {node, ell_col[node, s]} or (
+                    rows[e] == cols[e] == node
+                )
+
+
+def test_graph_edge_values_are_sq_distances(small_cloud):
+    x, _ = small_cloud
+    g = build_graph(x, 5)
+    rows, cols = np.asarray(g.rows), np.asarray(g.cols)
+    expected = ((x[rows] - x[cols]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(g.sqdist), expected, rtol=1e-3, atol=1e-5)
