@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Headline benchmark: sparse graph-Laplacian matvec throughput.
+
+The matrix-free Laplacian matvec is the hot loop of IMGP training (every CG
+iteration inside the marginal-likelihood evaluation is one of these; see
+SURVEY §3.2). We measure batched matvecs/s on an SRMNIST-scale kNN graph
+(N=10,010, k=50 — the reference's largest configuration) on one chip, and
+compare against the reference's computational substrate (torch sparse COO
+spmm, CPU build of torch in this image) on the same graph.
+
+Prints exactly one JSON line:
+  {"metric": "laplacian_matvecs_per_s", "value": ..., "unit": "matvec/s",
+   "vs_baseline": ...}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_inputs(n=10010, d=64, k=50, seed=0):
+    # Clustered synthetic data so the kNN graph has realistic manifold
+    # structure (10 clusters ~ 10 digits).
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((10, d)).astype(np.float32) * 2.0
+    x = centers[rng.integers(0, 10, n)] + 0.3 * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    return x
+
+
+def bench_jax(x, k, batch, iters=40):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu.ops.graph import build_graph
+    from manifold_gp_tpu.ops.laplacian import (
+        adjacency_matvec_ell,
+        laplacian_coeffs,
+        laplacian_matvec,
+    )
+
+    graph = build_graph(x, k)
+    coeffs = laplacian_coeffs(graph, 0.5)
+
+    @jax.jit
+    def mv(triu, diag, deg, v):
+        c = coeffs._replace(triu=triu, diag=diag, deg=deg)
+        return laplacian_matvec(graph, c, v, "randomwalk")
+
+    v = jnp.asarray(
+        np.random.default_rng(1).standard_normal((graph.num_nodes, batch)).astype(
+            np.float32
+        )
+    )
+    out = mv(coeffs.triu, coeffs.diag, coeffs.deg, v)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = mv(coeffs.triu, coeffs.diag, coeffs.deg, v)
+    v.block_until_ready()
+    dt = time.perf_counter() - t0
+    return iters * batch / dt, graph
+
+
+def bench_torch_baseline(graph, batch, iters=10):
+    """The reference's substrate: torch_sparse-style COO spmm (2 passes for
+    the symmetric triu layout) + diagonal, on the torch build in this image."""
+    try:
+        import torch
+    except Exception:
+        return None
+    rows = torch.as_tensor(np.asarray(graph.rows), dtype=torch.long)
+    cols = torch.as_tensor(np.asarray(graph.cols), dtype=torch.long)
+    n = graph.num_nodes
+    vals = torch.rand(rows.shape[0])
+    diag = torch.rand(n)
+    a = torch.sparse_coo_tensor(torch.stack([rows, cols]), vals, (n, n)).coalesce()
+    at = torch.sparse_coo_tensor(torch.stack([cols, rows]), vals, (n, n)).coalesce()
+    v = torch.randn(n, batch)
+
+    def mv(v):
+        return diag.unsqueeze(1) * v - torch.sparse.mm(a, v) - torch.sparse.mm(at, v)
+
+    mv(v)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = mv(v)
+    dt = time.perf_counter() - t0
+    return iters * batch / dt
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10010
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    batch = 64
+    x = build_inputs(n=n, k=k)
+    ours, graph = bench_jax(x, k, batch)
+    base = bench_torch_baseline(graph, batch)
+    vs = (ours / base) if base else None
+    print(
+        json.dumps(
+            {
+                "metric": "laplacian_matvecs_per_s",
+                "value": round(ours, 1),
+                "unit": "matvec/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
