@@ -46,24 +46,34 @@ def bench_jax(x, k, batch, iters=40):
     graph = build_graph(x, k)
     coeffs = laplacian_coeffs(graph, 0.5)
 
+    # Chain the matvecs inside ONE jitted program: training runs the matvec
+    # inside a jitted CG loop, so device throughput (not per-dispatch tunnel
+    # latency) is the relevant number.
     @jax.jit
-    def mv(triu, diag, deg, v):
+    def mv_chain(triu, diag, deg, v):
         c = coeffs._replace(triu=triu, diag=diag, deg=deg)
-        return laplacian_matvec(graph, c, v, "randomwalk")
+
+        def body(_, vec):
+            out = laplacian_matvec(graph, c, vec, "randomwalk")
+            # Normalize to keep values finite over the chain.
+            return out / jnp.linalg.norm(out[:, :1])
+
+        return jax.lax.fori_loop(0, iters, body, v)
 
     v = jnp.asarray(
         np.random.default_rng(1).standard_normal((graph.num_nodes, batch)).astype(
             np.float32
         )
     )
-    out = mv(coeffs.triu, coeffs.diag, coeffs.deg, v)
+    out = mv_chain(coeffs.triu, coeffs.diag, coeffs.deg, v)
     out.block_until_ready()
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        v = mv(coeffs.triu, coeffs.diag, coeffs.deg, v)
-    v.block_until_ready()
+    for _ in range(reps):
+        out = mv_chain(coeffs.triu, coeffs.diag, coeffs.deg, v)
+    out.block_until_ready()
     dt = time.perf_counter() - t0
-    return iters * batch / dt, graph
+    return reps * iters * batch / dt, graph
 
 
 def bench_torch_baseline(graph, batch, iters=10):

@@ -36,6 +36,7 @@ from ..parameters import ConstrainedParam, GreaterThan, Positive
 from ..ops.bump import bump_function
 from ..ops.graph import build_graph
 from ..ops.knn import NearestNeighbors, knn_search
+from ..ops.eigen import lanczos_eigh
 from ..ops.laplacian import (
     laplacian_coeffs,
     laplacian_dense,
@@ -196,11 +197,27 @@ class RiemannKernel:
 @functools.partial(jax.jit, static_argnames=("kernel",))
 def _eval_basis_jit(kernel: RiemannKernel, params):
     c = kernel.coeffs(params)
-    lap = laplacian_dense(kernel.graph, c)
-    eigval, eigvec = jnp.linalg.eigh(lap)
-    m = min(kernel.num_modes, kernel.graph.num_nodes)
-    eigval = eigval[:m].at[0].set(0.0)
-    eigvec = eigvec[:, :m]
+    n = kernel.graph.num_nodes
+    m = min(kernel.num_modes, n)
+    if n <= kernel.cfg.eigh_max_size:
+        # Small-N exact path: dense symmetric eigh, like reference eval()
+        # (riemann_kernel.py:121-124).
+        lap = laplacian_dense(kernel.graph, c)
+        eigval, eigvec = jnp.linalg.eigh(lap)
+        eigval, eigvec = eigval[:m], eigvec[:, :m]
+    else:
+        # Large-N matrix-free path: full-reorth Lanczos on the sparse SpMV
+        # with Krylov dimension 3 * num_modes — the Lanczos route the
+        # reference keeps via linear_operator diagonalization
+        # (graph_laplacian_operator.py:132-144) made primary.
+        v0 = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+        eigval, eigvec = lanczos_eigh(
+            lambda v: laplacian_matvec(kernel.graph, c, v, "symmetric"),
+            v0,
+            num_modes=m,
+            num_steps=min(3 * m, n),
+        )
+    eigval = eigval.at[0].set(0.0)
     # Unconditional D^{-1/2} recovery + column L2 normalization, matching
     # reference eval() (riemann_kernel.py:127-128).
     eigvec = eigvec * jax.lax.rsqrt(c.deg)[:, None]

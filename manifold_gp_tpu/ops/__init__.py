@@ -1,5 +1,6 @@
 from .bump import bump_function
 from .cg import cg_raw, cg_solve
+from .eigen import lanczos_eigh
 from .engine import average_variance, densify, inv_quad, logdet, solve
 from .graph import SparseGraph, build_graph, coalesce_mean, graph_from_edges
 from .knn import NearestNeighbors, knn_search
@@ -25,6 +26,7 @@ __all__ = [
     "bump_function",
     "cg_raw",
     "cg_solve",
+    "lanczos_eigh",
     "average_variance",
     "densify",
     "inv_quad",
