@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--save", type=str, default=None)
+    # Supervised default inits the graph bandwidth inside the stable basin
+    # (~3.5x the median-kNN-distance heuristic). The notebook's init of 1.0
+    # collapses under the current reference objective (learnable bandwidth,
+    # no prior): eps -> 0 degenerates the graph. See PARITY.md.
+    ap.add_argument("--gb-init", type=float, default=None)
+    ap.add_argument("--no-gb-prior", action="store_true")
     args = ap.parse_args()
     semisup = args.mode == "semisupervised"
 
@@ -82,6 +88,23 @@ def main():
     test_y = (test_y - mu_y) / std_y
 
     cfg = InferenceConfig(max_cholesky=2000, cg_tolerance=1e-2, cg_max_iter=1000)
+
+    # Data-driven graphbandwidth hyperprior (reference notebook cell
+    # "74cd3ae2": Gamma with mode at the median mean-kNN distance).
+    gb_prior = None
+    if not args.no_gb_prior:
+        import math
+
+        from manifold_gp_tpu.ops.knn import knn_search
+        from manifold_gp_tpu.priors import GammaPrior
+
+        ev = np.asarray(knn_search(train_x, train_x, 10, self_query=True)[0])[:, 1:]
+        gb_min = math.sqrt(float(ev[:, 0].max()) / (-4.0 * math.log(1e-4)))
+        mean_knn = np.sort(np.sqrt(ev).mean(axis=1))
+        median = float(mean_knn[int(round(ev.shape[0] * 0.5))])
+        rate = 4.0 * median / (median - gb_min) ** 2
+        gb_prior = GammaPrior(rate * median + 1.0, rate)
+
     kernel = RiemannMaternKernel(
         nu=1,
         x=sampled_x if semisup else train_x,
@@ -90,6 +113,7 @@ def main():
         num_modes=50,
         bump_scale=10.0,
         bump_decay=1.0,
+        graphbandwidth_prior=gb_prior,
         cfg=cfg,
     )
     model = RiemannGP(
@@ -100,8 +124,9 @@ def main():
         noise_constraint=GreaterThan(1e-8),
         cfg=cfg,
     )
+    gb_init = args.gb_init if args.gb_init is not None else (1.0 if semisup else 0.05)
     params = model.init_params(
-        noise=1e-2, outputscale=1.0, graphbandwidth=1.0, lengthscale=1.0
+        noise=1e-2, outputscale=1.0, graphbandwidth=gb_init, lengthscale=1.0
     )
 
     t0 = time.time()

@@ -8,9 +8,15 @@ from .datasets import (
     rotate_mnist,
 )
 from .evaluate import gaussian_nll, test_model
+from .metrics import MetricsRecorder, phase_timer, profile_trace
+from .sampling import grid_uniform
 from .train import ReduceLROnPlateau, manifold_informed_train, vanilla_train
 
 __all__ = [
+    "MetricsRecorder",
+    "phase_timer",
+    "profile_trace",
+    "grid_uniform",
     "load_params",
     "save_params",
     "manifold_1D_dataset",
