@@ -43,18 +43,25 @@ def bench_jax(x, k, batch, iters=40):
         laplacian_matvec,
     )
 
-    graph = build_graph(x, k)
+    from manifold_gp_tpu.ops.block_sparse import assemble, build_block_layout
+
+    # Host-side graph build: the one-time kNN construction should not ride a
+    # (potentially high-latency) accelerator link; training does the same.
+    graph = build_graph(x, k, knn_backend="host")
     coeffs = laplacian_coeffs(graph, 0.5)
+    layout = build_block_layout(graph)
 
     # Chain the matvecs inside ONE jitted program: training runs the matvec
     # inside a jitted CG loop, so device throughput (not per-dispatch tunnel
-    # latency) is the relevant number.
+    # latency) is the relevant number. The block buffer is assembled once per
+    # coefficient change, exactly as in training (amortized over the solve).
     @jax.jit
     def mv_chain(triu, diag, deg, v):
         c = coeffs._replace(triu=triu, diag=diag, deg=deg)
+        block = (layout, assemble(layout, c.diag, c.triu)) if layout else None
 
         def body(_, vec):
-            out = laplacian_matvec(graph, c, vec, "randomwalk")
+            out = laplacian_matvec(graph, c, vec, "randomwalk", block=block)
             # Normalize to keep values finite over the chain.
             return out / jnp.linalg.norm(out[:, :1])
 

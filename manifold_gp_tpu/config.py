@@ -42,7 +42,18 @@ class InferenceConfig:
     num_probes: int = 64
     lanczos_max_iter: int = 96
     eigh_max_size: int = 16384
+    # LOBPCG iteration cap for the large-N spectral-basis solver.
+    eigensolver_max_iter: int = 200
     dense_operator_max_size: int = 4096
+    # Above dense_operator_max_size, try the RCM block-ELL MXU SpMV
+    # (ops.block_sparse); falls back to the ELL gather scan when the
+    # reordered graph is not block-sparse enough.
+    use_block_sparse: bool = True
+    # Storage/matmul dtype for the block-sparse panel buffer: "float32"
+    # (exact, 6-pass MXU emulation) or "bfloat16" (native MXU throughput,
+    # f32 accumulation; ~1e-3 relative matvec error — safe at the
+    # reference's 1e-2 CG tolerance, measured CG solution diff ~4e-4).
+    spmv_dtype: str = "float32"
 
     def replace(self, **kw) -> "InferenceConfig":
         return dataclasses.replace(self, **kw)

@@ -36,8 +36,9 @@ from ..parameters import ConstrainedParam, GreaterThan, Positive
 from ..ops.bump import bump_function
 from ..ops.graph import build_graph
 from ..ops.knn import NearestNeighbors, knn_search
-from ..ops.eigen import lanczos_eigh
+from ..ops.eigen import lobpcg_smallest
 from ..ops.laplacian import (
+    gershgorin_bound,
     laplacian_coeffs,
     laplacian_dense,
     laplacian_matvec,
@@ -84,8 +85,15 @@ class RiemannKernel:
             ),
             ConstrainedParam("lengthscale", Positive()),
         ]
-        # Dense MXU path for the Laplacian matvec on small graphs.
+        # Laplacian matvec execution path: dense MXU for small graphs, RCM
+        # block-ELL MXU tiles for large block-sparse-able graphs, ELL gather
+        # scan otherwise (see ops.block_sparse module docstring).
         self.use_dense_operator = self.graph.num_nodes <= cfg.dense_operator_max_size
+        self.block_layout = None
+        if not self.use_dense_operator and cfg.use_block_sparse:
+            from ..ops.block_sparse import build_block_layout
+
+            self.block_layout = build_block_layout(self.graph)
 
     # -- parameters --------------------------------------------------------
     def init_params(self, graphbandwidth=None, lengthscale=None) -> dict:
@@ -117,11 +125,33 @@ class RiemannKernel:
     def coeffs(self, params, self_loops: bool = True):
         return laplacian_coeffs(self.graph, self.graphbandwidth(params), self_loops)
 
+    def _operator_state(self, c):
+        """(dense, block) execution-path state for the current coefficients."""
+        if self.use_dense_operator:
+            return laplacian_dense(self.graph, c), None
+        if self.block_layout is not None:
+            import jax.numpy as _jnp
+
+            from ..ops.block_sparse import assemble
+
+            dtype = (
+                _jnp.bfloat16 if self.cfg.spmv_dtype == "bfloat16" else None
+            )
+            blocks = assemble(self.block_layout, c.diag, c.triu, dtype=dtype)
+            return None, (self.block_layout, blocks)
+        return None, None
+
     def laplacian_matvec(self, params, v, transposed: bool = False):
         c = self.coeffs(params)
-        dense = laplacian_dense(self.graph, c) if self.use_dense_operator else None
+        dense, block = self._operator_state(c)
         return laplacian_matvec(
-            self.graph, c, v, self.laplacian_normalization, transposed, dense=dense
+            self.graph,
+            c,
+            v,
+            self.laplacian_normalization,
+            transposed,
+            dense=dense,
+            block=block,
         )
 
     # -- spectral basis ----------------------------------------------------
@@ -206,16 +236,27 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
         eigval, eigvec = jnp.linalg.eigh(lap)
         eigval, eigvec = eigval[:m], eigvec[:, :m]
     else:
-        # Large-N matrix-free path: full-reorth Lanczos on the sparse SpMV
-        # with Krylov dimension 3 * num_modes — the Lanczos route the
-        # reference keeps via linear_operator diagonalization
-        # (graph_laplacian_operator.py:132-144) made primary.
-        v0 = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
-        eigval, eigvec = lanczos_eigh(
-            lambda v: laplacian_matvec(kernel.graph, c, v, "symmetric"),
-            v0,
-            num_modes=m,
-            num_steps=min(3 * m, n),
+        # Large-N matrix-free path: block LOBPCG on the sparse SpMV (shifted
+        # by a Gershgorin bound). A block solver is required here — the low
+        # Laplacian spectrum has clustered/degenerate eigenvalues (paired
+        # harmonics, graph components) that single-vector Lanczos (the
+        # reference's linear_operator diagonalization route,
+        # graph_laplacian_operator.py:132-144) cannot resolve.
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (n, m), jnp.float32)
+        # Always f32 blocks here: resolving eigenvalues clustered near zero
+        # (relative to lambda_max) needs more matvec precision than bf16
+        # offers, and the basis solve runs once per eval, not per CG step.
+        if kernel.block_layout is not None:
+            from ..ops.block_sparse import assemble
+
+            block = (kernel.block_layout, assemble(kernel.block_layout, c.diag, c.triu))
+        else:
+            block = None
+        eigval, eigvec = lobpcg_smallest(
+            lambda v: laplacian_matvec(kernel.graph, c, v, "symmetric", block=block),
+            x0,
+            gershgorin_bound(kernel.graph, c),
+            max_iter=kernel.cfg.eigensolver_max_iter,
         )
     eigval = eigval.at[0].set(0.0)
     # Unconditional D^{-1/2} recovery + column L2 normalization, matching
@@ -240,7 +281,7 @@ class RiemannMaternKernel(RiemannKernel):
     def precision_matvec(self, params, coeffs=None):
         """Matvec closure for Q = (2 nu / l^2 I + L)^nu."""
         c = self.coeffs(params) if coeffs is None else coeffs
-        dense = laplacian_dense(self.graph, c) if self.use_dense_operator else None
+        dense, block = self._operator_state(c)
         return make_matern_precision_matvec(
             self.graph,
             c,
@@ -248,4 +289,5 @@ class RiemannMaternKernel(RiemannKernel):
             self.lengthscale(params),
             self.laplacian_normalization,
             dense=dense,
+            block=block,
         )

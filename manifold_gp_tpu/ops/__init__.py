@@ -1,11 +1,12 @@
 from .bump import bump_function
 from .cg import cg_raw, cg_solve
-from .eigen import lanczos_eigh
+from .eigen import lanczos_eigh, lobpcg_smallest
 from .engine import average_variance, densify, inv_quad, logdet, solve
 from .graph import SparseGraph, build_graph, coalesce_mean, graph_from_edges
 from .knn import NearestNeighbors, knn_search
 from .laplacian import (
     LaplacianCoeffs,
+    gershgorin_bound,
     adjacency_matvec_coo,
     adjacency_matvec_ell,
     laplacian_coeffs,
@@ -27,6 +28,7 @@ __all__ = [
     "cg_raw",
     "cg_solve",
     "lanczos_eigh",
+    "lobpcg_smallest",
     "average_variance",
     "densify",
     "inv_quad",
@@ -39,6 +41,7 @@ __all__ = [
     "NearestNeighbors",
     "knn_search",
     "LaplacianCoeffs",
+    "gershgorin_bound",
     "adjacency_matvec_coo",
     "adjacency_matvec_ell",
     "laplacian_coeffs",

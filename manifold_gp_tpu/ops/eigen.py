@@ -23,7 +23,7 @@ matvec may be the sharded SpMV (reorth dots then lower to ICI psums).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -125,3 +125,38 @@ def lanczos_eigh(
     ritz_vec = jnp.matmul(basis.T, evecs[:, sel], precision=_HIGHEST)
     ritz_vec = ritz_vec / jnp.linalg.norm(ritz_vec, axis=0, keepdims=True)
     return ritz_val, ritz_vec
+
+
+def lobpcg_smallest(
+    matvec: Callable,
+    x0: jnp.ndarray,
+    upper_bound,
+    max_iter: int = 200,
+    tol: Optional[float] = None,
+):
+    """Smallest-m eigenpairs of a symmetric PSD operator via block LOBPCG on
+    the shifted operator ``upper_bound*I - A`` (jax.experimental.sparse.linalg).
+
+    Unlike single-vector Lanczos (``lanczos_eigh``), the block iteration
+    resolves degenerate/clustered eigenvalues — exactly the structure of the
+    low graph-Laplacian spectrum on product-like manifolds (paired harmonics)
+    and multi-component graphs. This is the primary large-N spectral-basis
+    solver; ``upper_bound`` is any bound on the largest eigenvalue (use
+    ``gershgorin_bound``).
+
+    Args:
+      x0: [N, m] start block (randomized by the caller).
+      upper_bound: scalar >= lambda_max(A).
+    Returns: (eigval [m] ascending, eigvec [N, m]).
+    """
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    c = jnp.reshape(upper_bound, ())
+
+    def shifted(v):
+        return c * v - matvec(v)
+
+    theta, u, _ = lobpcg_standard(shifted, x0, m=max_iter, tol=tol)
+    vals = c - theta
+    order = jnp.argsort(vals)
+    return vals[order], u[:, order]

@@ -142,12 +142,25 @@ def graph_from_edges(rows, cols, sqdist, num_nodes) -> SparseGraph:
     )
 
 
-def build_graph(x, nearest_neighbors: int) -> SparseGraph:
+def build_graph(x, nearest_neighbors: int, knn_backend: str = "device") -> SparseGraph:
     """kNN graph with the reference's exact construction semantics
-    (search k incl. self, drop self column, triu-orient, mean-coalesce)."""
-    x = jnp.asarray(x, jnp.float32)
+    (search k incl. self, drop self column, triu-orient, mean-coalesce).
+
+    knn_backend: 'device' runs the MXU-tiled search on the accelerator;
+    'host' uses the native C++ (or numpy) exact kNN — preferable when the
+    accelerator sits behind a high-latency link or is busy.
+    """
+    if knn_backend == "host":
+        from ..utils.native import knn_search_host
+
+        xh = np.asarray(x, np.float32)
+        sqd_h, idx_h = knn_search_host(xh, xh, nearest_neighbors)
+        sqd, idx = sqd_h, idx_h
+        x = jnp.asarray(xh)
+    else:
+        x = jnp.asarray(x, jnp.float32)
+        sqd, idx = knn_search(x, x, nearest_neighbors, self_query=True)
     n = x.shape[0]
-    sqd, idx = knn_search(x, x, nearest_neighbors, self_query=True)
     sqd = np.asarray(sqd[:, 1:])
     idx = np.asarray(idx[:, 1:])
     k_eff = nearest_neighbors - 1

@@ -111,6 +111,19 @@ def adjacency_matvec_coo(graph: SparseGraph, triu: jnp.ndarray, v: jnp.ndarray):
     return out
 
 
+def gershgorin_bound(graph: SparseGraph, coeffs: LaplacianCoeffs):
+    """Upper bound on lambda_max(L_sym): max_i (diag_i + sum_j |offdiag_ij|).
+    Used as the spectral shift for the LOBPCG smallest-eigenpair solver."""
+    rowsum = (
+        jnp.zeros_like(coeffs.diag)
+        .at[graph.rows]
+        .add(jnp.abs(coeffs.triu))
+        .at[graph.cols]
+        .add(jnp.abs(coeffs.triu))
+    )
+    return jnp.max(coeffs.diag + rowsum) * 1.01
+
+
 # ---------------------------------------------------------------------------
 # Dense assembly (small-N MXU path; also the eigh input)
 # ---------------------------------------------------------------------------
@@ -141,13 +154,17 @@ def laplacian_matvec(
     normalization: str = "randomwalk",
     transposed: bool = False,
     dense: Optional[jnp.ndarray] = None,
+    block=None,
 ):
     """Apply L to v ([N] or [N, B]).
 
     normalization='symmetric': L_sym v.
     normalization='randomwalk': D^{-1/2} L_sym D^{1/2} v (transpose swaps the
     scalings), matching reference :108-124, :129-130.
-    If ``dense`` (a pre-assembled L_sym) is given, uses the MXU path.
+    Execution paths (identical numerics): ``dense`` (a pre-assembled L_sym)
+    uses the small-N MXU path; ``block`` (a (BlockLayout, blocks) pair from
+    ops.block_sparse) uses the RCM block-ELL MXU path; default is the ELL
+    gather scan.
     """
     squeeze = v.ndim == 1
     if squeeze:
@@ -159,6 +176,10 @@ def laplacian_matvec(
         vec = v
     if dense is not None:
         out = jnp.matmul(dense, vec, precision=_HIGHEST)
+    elif block is not None:
+        from .block_sparse import matvec as block_matvec
+
+        out = block_matvec(block[0], block[1], vec)
     else:
         out = coeffs.diag[:, None] * vec - adjacency_matvec_ell(graph, coeffs.triu, vec)
     if normalization == "randomwalk":

@@ -41,6 +41,7 @@ def make_matern_precision_matvec(
     lengthscale,
     normalization: str = "randomwalk",
     dense: Optional[jnp.ndarray] = None,
+    block=None,
 ) -> Callable:
     """Q = (2 nu / l^2 I + L)^nu (with randomwalk symmetrization)."""
     diag = jnp.square(jnp.reshape(lengthscale, ())) / (2.0 * nu)
@@ -48,7 +49,9 @@ def make_matern_precision_matvec(
     def matvec(v):
         out = v
         for _ in range(nu):
-            lv = laplacian_matvec(graph, coeffs, out, normalization, dense=dense)
+            lv = laplacian_matvec(
+                graph, coeffs, out, normalization, dense=dense, block=block
+            )
             out = (out + diag * lv) / diag
         if normalization == "randomwalk":
             deg = coeffs.deg if out.ndim == 1 else coeffs.deg[:, None]

@@ -1,5 +1,6 @@
 from .mesh import (
     ShardingContext,
+    init_distributed,
     active_context,
     constrain_nodes,
     constrain_probes,
@@ -10,6 +11,7 @@ from .spmv import sharded_adjacency_matvec, shard_graph_rows
 
 __all__ = [
     "ShardingContext",
+    "init_distributed",
     "active_context",
     "constrain_nodes",
     "constrain_probes",

@@ -33,6 +33,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 NODE_AXIS = "nodes"
 
 
+def init_distributed(**kwargs) -> int:
+    """Multi-host rendezvous (DCN). Call once per process before make_mesh;
+    no-op when already initialized or single-process. Returns process count."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process env
+    return jax.process_count()
+
+
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     """1-D mesh over the node/probe axis."""
     if devices is None:
