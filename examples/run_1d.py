@@ -27,6 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["supervised", "semisupervised"])
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="run on host CPU instead of the accelerator")
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--save", type=str, default=None)
     # Supervised default inits the graph bandwidth inside the stable basin
@@ -42,6 +43,8 @@ def main():
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 

@@ -36,6 +36,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["supervised", "semisupervised"])
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="run on host CPU instead of the accelerator")
     ap.add_argument("--max-iter", type=int, default=None)
     ap.add_argument("--save", type=str, default=None)
     args = ap.parse_args()
@@ -45,6 +46,8 @@ def main():
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from manifold_gp_tpu import (

@@ -16,6 +16,12 @@ bfloat16 block/operand mode trades ~3 mantissa digits for the MXU's native
 bf16 throughput (single-pass instead of 6-pass f32 emulation) — acceptable
 for CG at the reference's 1e-2 relative tolerance, gated behind
 ``InferenceConfig`` rather than default.
+
+NOTE: this kernel defines no VJP — it is the *inference/eval* accelerator
+(posterior solves, basis LOBPCG, SLQ forward). The training path keeps the
+einsum implementation in ops.block_sparse, which JAX differentiates through
+(gradients flow from the matvec back to the learnable graph bandwidth via
+the assembly scatter).
 """
 
 from __future__ import annotations
@@ -37,8 +43,19 @@ def _kernel(s_max: int, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
     for s in range(s_max):  # static unroll over the block-column slots
         col = bc_ref[i, s]
         scratch_ref[pl.ds(s * BLOCK, BLOCK), :] = v_ref[pl.ds(col * BLOCK, BLOCK), :]
+    # Explicit precision: on Mosaic a plain f32 jnp.dot may lower to bf16
+    # MXU multiplies; HIGHEST forces the full-f32 multi-pass when the panel
+    # buffer is f32 (bf16 buffers take the native single-pass path anyway).
+    prec = (
+        None
+        if blocks_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     out_ref[:] = jnp.dot(
-        blocks_ref[0], scratch_ref[:], preferred_element_type=jnp.float32
+        blocks_ref[0],
+        scratch_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=prec,
     ).astype(out_ref.dtype)
 
 
