@@ -35,6 +35,7 @@ def main():
     # collapses under the current reference objective (learnable bandwidth,
     # no prior): eps -> 0 degenerates the graph. See PARITY.md.
     ap.add_argument("--gb-init", type=float, default=None)
+    ap.add_argument("--ls-init", type=float, default=None)
     ap.add_argument("--no-gb-prior", action="store_true")
     args = ap.parse_args()
     semisup = args.mode == "semisupervised"
@@ -127,9 +128,15 @@ def main():
         noise_constraint=GreaterThan(1e-8),
         cfg=cfg,
     )
-    gb_init = args.gb_init if args.gb_init is not None else (1.0 if semisup else 0.05)
+    # Stable-basin inits (see PARITY.md): the notebook inits (gb=1, ls=1)
+    # leave the current objective in degenerate or shallow basins; gb ~3.5x
+    # the median-kNN heuristic plus (semisup) a lengthscale near the
+    # reference's own published trained value finds the better optimum
+    # (loss 0.830 vs 0.920 at the reference's stored state).
+    gb_init = args.gb_init if args.gb_init is not None else 0.05
+    ls_init = args.ls_init if args.ls_init is not None else (6.0 if semisup else 1.0)
     params = model.init_params(
-        noise=1e-2, outputscale=1.0, graphbandwidth=gb_init, lengthscale=1.0
+        noise=1e-2, outputscale=1.0, graphbandwidth=gb_init, lengthscale=ls_init
     )
 
     t0 = time.time()

@@ -41,7 +41,9 @@ class InferenceConfig:
     cg_max_iter: int = 1000
     num_probes: int = 64
     lanczos_max_iter: int = 96
-    eigh_max_size: int = 16384
+    # XLA's dense eigh needs ~40x N^2 f32 workspace; 8192 keeps it inside a
+    # single v5e's 16 GB HBM. Larger graphs use the matrix-free LOBPCG route.
+    eigh_max_size: int = 8192
     # LOBPCG iteration cap for the large-N spectral-basis solver.
     eigensolver_max_iter: int = 200
     dense_operator_max_size: int = 4096

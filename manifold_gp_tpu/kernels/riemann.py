@@ -278,10 +278,16 @@ class RiemannMaternKernel(RiemannKernel):
         ls2 = jnp.square(jnp.reshape(self.lengthscale(params), ()))
         return jnp.power(2.0 * self.nu / ls2 + eigval, -float(self.nu))
 
-    def precision_matvec(self, params, coeffs=None):
-        """Matvec closure for Q = (2 nu / l^2 I + L)^nu."""
+    def precision_matvec(self, params, coeffs=None, permuted_io: bool = False):
+        """Matvec closure for Q = (2 nu / l^2 I + L)^nu.
+
+        With ``permuted_io=True`` (block path only) the closure works on
+        padded-RCM-space vectors so compositions/solves built on top do no
+        per-matvec permutation gathers."""
         c = self.coeffs(params) if coeffs is None else coeffs
         dense, block = self._operator_state(c)
+        if block is None:
+            permuted_io = False
         return make_matern_precision_matvec(
             self.graph,
             c,
@@ -290,4 +296,5 @@ class RiemannMaternKernel(RiemannKernel):
             self.laplacian_normalization,
             dense=dense,
             block=block,
+            permuted_io=permuted_io,
         )

@@ -124,8 +124,15 @@ class RiemannGP:
 
     # -- precision operator stack -----------------------------------------
     def precision_matvec(self, params, noise: bool = True, coeffs=None):
-        """Compose Schur (if semisup) -> Scale -> Noise, reference :32-39."""
-        mv = self.kernel.precision_matvec(params, coeffs=coeffs)
+        """Compose Schur (if semisup) -> Scale -> Noise, reference :32-39.
+
+        On the block-sparse path (supervised, large N) the whole composition
+        runs in padded-RCM space: the scalar Scale/Noise wrappers commute
+        with the permutation, so one permute_in/out pair at the boundary
+        replaces per-Laplacian-matvec row gathers (a noisy nu=2 apply does
+        6 of them)."""
+        permuted = self.labeled is None and self.kernel.block_layout is not None
+        mv = self.kernel.precision_matvec(params, coeffs=coeffs, permuted_io=permuted)
         if self.labeled is not None:
             mv = make_schur_matvec(
                 mv,
@@ -139,6 +146,18 @@ class RiemannGP:
             mv = make_scaled_matvec(mv, self.outputscale(params))
         if noise:
             mv = make_noisy_matvec(mv, self.noise(params))
+        if permuted:
+            from ..ops.block_sparse import permute_in, permute_out
+
+            layout = self.kernel.block_layout
+            inner = mv
+
+            def mv(v):
+                squeeze = v.ndim == 1
+                vv = v[:, None] if squeeze else v
+                out = permute_out(layout, inner(permute_in(layout, vv)))
+                return out[:, 0] if squeeze else out
+
         return mv
 
     # -- training loss -----------------------------------------------------

@@ -166,14 +166,24 @@ def assemble(layout: BlockLayout, diag: jnp.ndarray, triu: jnp.ndarray,
 
 def matvec(layout: BlockLayout, blocks: jnp.ndarray, v: jnp.ndarray):
     """L_sym @ v through the block layout. v: [N, B] -> [N, B]."""
-    n = layout.num_nodes
-    pv = v[layout.perm]  # [Np, B]; padding rows duplicate row perm[pad]=0
-    if layout.num_padded > n:
-        # zero the duplicated padding rows so they contribute nothing
+    return permute_out(layout, matvec_permuted(layout, blocks, permute_in(layout, v)))
+
+
+def permute_in(layout: BlockLayout, v: jnp.ndarray) -> jnp.ndarray:
+    """[N, B] original order -> [Np, B] RCM order with zeroed padding rows.
+    The zero-padding subspace is invariant under the assembled operator and
+    under all diagonal/scalar wrappers, so whole CG/SLQ solves can run in
+    permuted space with one permute_in/permute_out pair at the boundary."""
+    pv = v[layout.perm]
+    if layout.num_padded > layout.num_nodes:
         row_ids = jnp.arange(layout.num_padded)[:, None]
-        pv = jnp.where(row_ids < n, pv, 0.0)
-    out = matvec_permuted(layout, blocks, pv)
-    return out[layout.unperm]
+        pv = jnp.where(row_ids < layout.num_nodes, pv, 0.0)
+    return pv
+
+
+def permute_out(layout: BlockLayout, pv: jnp.ndarray) -> jnp.ndarray:
+    """[Np, B] RCM order -> [N, B] original order."""
+    return pv[layout.unperm]
 
 
 def matvec_permuted(layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray):

@@ -155,6 +155,7 @@ def laplacian_matvec(
     transposed: bool = False,
     dense: Optional[jnp.ndarray] = None,
     block=None,
+    permuted_io: bool = False,
 ):
     """Apply L to v ([N] or [N, B]).
 
@@ -165,16 +166,28 @@ def laplacian_matvec(
     uses the small-N MXU path; ``block`` (a (BlockLayout, blocks) pair from
     ops.block_sparse) uses the RCM block-ELL MXU path; default is the ELL
     gather scan.
+
+    ``permuted_io`` (block path only): v is already in padded RCM order
+    [Np, B] with zero padding rows — callers hoist the permute_in/out pair
+    to the boundary of a whole operator composition or Krylov solve so the
+    hot loop does no per-matvec row gathers.
     """
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]
     if normalization == "randomwalk":
-        dsq = jnp.sqrt(coeffs.deg)[:, None]
+        deg = coeffs.deg
+        if permuted_io:
+            deg = deg[block[0].perm]  # [N]-sized gather, not [N, B]
+        dsq = jnp.sqrt(deg)[:, None]
         vec = v / dsq if transposed else v * dsq
     else:
         vec = v
-    if dense is not None:
+    if permuted_io:
+        from .block_sparse import matvec_permuted
+
+        out = matvec_permuted(block[0], block[1], vec)
+    elif dense is not None:
         out = jnp.matmul(dense, vec, precision=_HIGHEST)
     elif block is not None:
         from .block_sparse import matvec as block_matvec

@@ -42,19 +42,34 @@ def make_matern_precision_matvec(
     normalization: str = "randomwalk",
     dense: Optional[jnp.ndarray] = None,
     block=None,
+    permuted_io: bool = False,
 ) -> Callable:
-    """Q = (2 nu / l^2 I + L)^nu (with randomwalk symmetrization)."""
+    """Q = (2 nu / l^2 I + L)^nu (with randomwalk symmetrization).
+
+    ``permuted_io`` (block path): the closure maps padded-RCM-space vectors
+    [Np, B] -> [Np, B]; callers hoist the permutation to the solve boundary
+    (see ops.block_sparse.permute_in/out).
+    """
     diag = jnp.square(jnp.reshape(lengthscale, ())) / (2.0 * nu)
+    deg_full = coeffs.deg
+    if permuted_io:
+        deg_full = deg_full[block[0].perm]
 
     def matvec(v):
         out = v
         for _ in range(nu):
             lv = laplacian_matvec(
-                graph, coeffs, out, normalization, dense=dense, block=block
+                graph,
+                coeffs,
+                out,
+                normalization,
+                dense=dense,
+                block=block,
+                permuted_io=permuted_io,
             )
             out = (out + diag * lv) / diag
         if normalization == "randomwalk":
-            deg = coeffs.deg if out.ndim == 1 else coeffs.deg[:, None]
+            deg = deg_full if out.ndim == 1 else deg_full[:, None]
             out = out * deg
         return out
 

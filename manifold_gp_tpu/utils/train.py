@@ -76,13 +76,16 @@ def _train_loop(
     on_epoch_end=None,
     callback_period: Optional[int] = None,
     metrics=None,
+    chunk_size: int = 50,
 ):
     """Chunked training driver.
 
-    Epochs 0..max_iter run in lax.scan chunks (one device dispatch each).
-    ``on_epoch_end(epoch, params)`` fires host-side after epochs where
-    ``epoch % callback_period == 0`` (with the reference's post-increment
-    epoch counter) — chunks are cut exactly at those boundaries.
+    Epochs 0..max_iter run in lax.scan chunks (one device dispatch each,
+    at most ``chunk_size`` epochs per chunk — bounds the size of the
+    compiled program). ``on_epoch_end(epoch, params)`` fires host-side after
+    epochs where ``epoch % callback_period == 0`` (with the reference's
+    post-increment epoch counter) — chunks are cut exactly at those
+    boundaries.
     """
     # torch.optim.Adam semantics: L2 decay added to the gradient *before*
     # the Adam moments, then the lr scaling. lr is a traced scan-carry value
@@ -145,7 +148,11 @@ def _train_loop(
     epoch = 0
     stop = False
     while epoch < total and not stop:
-        length = min(period - (epoch % period) if period else total, total - epoch)
+        length = min(
+            period - (epoch % period) if period else total,
+            total - epoch,
+            chunk_size,
+        )
         (params, opt_state, key, cur_lr, sched_state), outs = run_chunk(
             params, opt_state, key, cur_lr, sched_state, length=length
         )
