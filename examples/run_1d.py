@@ -95,8 +95,12 @@ def main():
 
     # Data-driven graphbandwidth hyperprior (reference notebook cell
     # "74cd3ae2": Gamma with mode at the median mean-kNN distance).
+    # Semisup: only 10 labeled points — the kNN-median heuristic computed on
+    # them is meaningless (and drags the bandwidth out of the good basin),
+    # so the prior applies to the supervised config only (the notebooks set
+    # the prior flags False everywhere; see PARITY.md).
     gb_prior = None
-    if not args.no_gb_prior:
+    if not args.no_gb_prior and not semisup:
         import math
 
         from manifold_gp_tpu.ops.knn import knn_search

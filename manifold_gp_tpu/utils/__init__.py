@@ -9,6 +9,7 @@ from .datasets import (
 )
 from .evaluate import gaussian_nll, test_model
 from .metrics import MetricsRecorder, phase_timer, profile_trace
+from .multistart import multi_start_train, random_restarts
 from .sampling import grid_uniform
 from .train import ReduceLROnPlateau, manifold_informed_train, vanilla_train
 
@@ -17,6 +18,8 @@ __all__ = [
     "phase_timer",
     "profile_trace",
     "grid_uniform",
+    "multi_start_train",
+    "random_restarts",
     "load_params",
     "save_params",
     "manifold_1D_dataset",
