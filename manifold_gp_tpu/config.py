@@ -56,6 +56,11 @@ class InferenceConfig:
     # f32 accumulation; ~1e-3 relative matvec error — safe at the
     # reference's 1e-2 CG tolerance, measured CG solution diff ~4e-4).
     spmv_dtype: str = "float32"
+    # Block-SpMV kernel implementation: "pallas" (fused Mosaic kernel, VMEM
+    # -resident operand, differentiable via ops.pallas_spmv.make_matvec_ad),
+    # "einsum" (portable XLA path, identical numerics), or "auto" (pallas on
+    # TPU backends, einsum elsewhere — resolved at kernel construction).
+    spmv_kernel: str = "auto"
 
     def replace(self, **kw) -> "InferenceConfig":
         return dataclasses.replace(self, **kw)

@@ -94,6 +94,15 @@ class RiemannKernel:
             from ..ops.block_sparse import build_block_layout
 
             self.block_layout = build_block_layout(self.graph)
+        # Resolve the SpMV kernel implementation once, at construction: the
+        # fused Pallas kernel needs a real TPU backend (Mosaic); "auto" keeps
+        # the portable einsum path on CPU meshes and in tests.
+        if cfg.spmv_kernel == "auto":
+            import jax as _jax
+
+            self.use_pallas = _jax.devices()[0].platform == "tpu"
+        else:
+            self.use_pallas = cfg.spmv_kernel == "pallas"
 
     # -- parameters --------------------------------------------------------
     def init_params(self, graphbandwidth=None, lengthscale=None) -> dict:
@@ -152,6 +161,7 @@ class RiemannKernel:
             transposed,
             dense=dense,
             block=block,
+            pallas=self.use_pallas and block is not None,
         )
 
     # -- spectral basis ----------------------------------------------------
@@ -253,7 +263,14 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
         else:
             block = None
         eigval, eigvec = lobpcg_smallest(
-            lambda v: laplacian_matvec(kernel.graph, c, v, "symmetric", block=block),
+            lambda v: laplacian_matvec(
+                kernel.graph,
+                c,
+                v,
+                "symmetric",
+                block=block,
+                pallas=kernel.use_pallas and block is not None,
+            ),
             x0,
             gershgorin_bound(kernel.graph, c),
             max_iter=kernel.cfg.eigensolver_max_iter,
@@ -297,4 +314,5 @@ class RiemannMaternKernel(RiemannKernel):
             dense=dense,
             block=block,
             permuted_io=permuted_io,
+            pallas=self.use_pallas and block is not None,
         )

@@ -156,6 +156,7 @@ def laplacian_matvec(
     dense: Optional[jnp.ndarray] = None,
     block=None,
     permuted_io: bool = False,
+    pallas: bool = False,
 ):
     """Apply L to v ([N] or [N, B]).
 
@@ -184,15 +185,28 @@ def laplacian_matvec(
     else:
         vec = v
     if permuted_io:
-        from .block_sparse import matvec_permuted
+        if pallas:
+            from .pallas_spmv import make_matvec_ad
 
-        out = matvec_permuted(block[0], block[1], vec)
+            out = make_matvec_ad(block[0])(block[1], vec)
+        else:
+            from .block_sparse import matvec_permuted
+
+            out = matvec_permuted(block[0], block[1], vec)
     elif dense is not None:
         out = jnp.matmul(dense, vec, precision=_HIGHEST)
     elif block is not None:
-        from .block_sparse import matvec as block_matvec
+        if pallas:
+            from .block_sparse import permute_in, permute_out
+            from .pallas_spmv import make_matvec_ad
 
-        out = block_matvec(block[0], block[1], vec)
+            out = permute_out(
+                block[0], make_matvec_ad(block[0])(block[1], permute_in(block[0], vec))
+            )
+        else:
+            from .block_sparse import matvec as block_matvec
+
+            out = block_matvec(block[0], block[1], vec)
     else:
         out = coeffs.diag[:, None] * vec - adjacency_matvec_ell(graph, coeffs.triu, vec)
     if normalization == "randomwalk":

@@ -43,6 +43,7 @@ def make_matern_precision_matvec(
     dense: Optional[jnp.ndarray] = None,
     block=None,
     permuted_io: bool = False,
+    pallas: bool = False,
 ) -> Callable:
     """Q = (2 nu / l^2 I + L)^nu (with randomwalk symmetrization).
 
@@ -54,6 +55,48 @@ def make_matern_precision_matvec(
     deg_full = coeffs.deg
     if permuted_io:
         deg_full = deg_full[block[0].perm]
+
+    if block is not None:
+        # Fused block path. The nu-fold affine recursion
+        #   out <- (out + a L out)/a,  a = l^2/(2 nu)
+        # telescopes: for randomwalk (L_rw = D^{-1/2} L_sym D^{1/2}, final
+        # *deg symmetrization) the whole operator collapses to
+        #   Q = D^{1/2} (I/a + L_sym)^nu D^{1/2},
+        # and for symmetric to (I/a + L_sym)^nu. Scattering the 1/a shift
+        # into the panel diagonal once per step turns every Q matvec into nu
+        # bare block matvecs with two boundary row-scalings — no per-matvec
+        # affine or D^{+-1/2} conjugation passes over [N, B] in the hot loop.
+        from .block_sparse import matvec_permuted, permute_in, permute_out
+
+        layout, blocks = block
+        shift = (1.0 / diag).astype(blocks.dtype)
+        qblocks = (
+            blocks.reshape(-1).at[layout.diag_flat].add(shift).reshape(blocks.shape)
+        )
+        dsq_p = jnp.sqrt(deg_full if permuted_io else deg_full[layout.perm])
+        if pallas:
+            from .pallas_spmv import make_matvec_ad
+
+            mv_fn = make_matvec_ad(layout)
+        else:
+            mv_fn = lambda blk, pv: matvec_permuted(layout, blk, pv)  # noqa: E731
+
+        def matvec(v):
+            squeeze = v.ndim == 1
+            out = v[:, None] if squeeze else v
+            if not permuted_io:
+                out = permute_in(layout, out)
+            if normalization == "randomwalk":
+                out = out * dsq_p[:, None]
+            for _ in range(nu):
+                out = mv_fn(qblocks, out)
+            if normalization == "randomwalk":
+                out = out * dsq_p[:, None]
+            if not permuted_io:
+                out = permute_out(layout, out)
+            return out[:, 0] if squeeze else out
+
+        return matvec
 
     def matvec(v):
         out = v

@@ -42,12 +42,16 @@ def _kernel(s_max: int, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
     # [BLOCK, S*BLOCK] @ [S*BLOCK, batch] on the MXU.
     for s in range(s_max):  # static unroll over the block-column slots
         col = bc_ref[i, s]
-        scratch_ref[pl.ds(s * BLOCK, BLOCK), :] = v_ref[pl.ds(col * BLOCK, BLOCK), :]
+        scratch_ref[pl.ds(s * BLOCK, BLOCK), :] = v_ref[
+            pl.ds(col * BLOCK, BLOCK), :
+        ].astype(scratch_ref.dtype)
     # Explicit precision: on Mosaic a plain f32 jnp.dot may lower to bf16
     # MXU multiplies; HIGHEST forces the full-f32 multi-pass when the panel
-    # buffer is f32 (bf16 buffers take the native single-pass path anyway).
+    # buffer is f32. bf16 panels must pin DEFAULT — precision=None inherits
+    # the session's jax_default_matmul_precision (training pins "highest"),
+    # and Mosaic rejects an fp32-contract matmul over bf16 operands.
     prec = (
-        None
+        jax.lax.Precision.DEFAULT
         if blocks_ref.dtype == jnp.bfloat16
         else jax.lax.Precision.HIGHEST
     )
@@ -83,7 +87,9 @@ def block_matvec_pallas(
         out_specs=pl.BlockSpec(
             (BLOCK, batch), lambda i, bc: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((s_max * BLOCK, batch), pv.dtype)],
+        # bf16 panels need a bf16 staged operand (the MXU matmul must see
+        # matching element types); f32 panels stage in f32.
+        scratch_shapes=[pltpu.VMEM((s_max * BLOCK, batch), blocks.dtype)],
     )
     return pl.pallas_call(
         functools.partial(_kernel, s_max),
@@ -97,6 +103,54 @@ def block_matvec_pallas(
             transcendentals=0,
         ),
     )(layout.block_col, blocks, pv)
+
+
+def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
+    """Differentiable Pallas block matvec: (blocks, pv) -> L @ pv in permuted
+    space, with a custom VJP so the *training* hot loop can run the fused
+    kernel too (the bare kernel defines no transpose/JVP rules).
+
+    VJP derivation for out = M(blocks) @ pv:
+      * bar_pv = M^T g = M g — valid because ``assemble`` always scatters both
+        edge directions plus the diagonal, so the panel buffer encodes a
+        symmetric matrix (same reason CG may reuse the forward matvec as the
+        adjoint, ops/cg.py:84-86);
+      * bar_blocks[r, i, k] = sum_b g[r*B+i, b] * pv_gathered[r, k, b] — one
+        einsum over the gathered operand blocks (the einsum path's
+        materialization, paid only inside solve/logdet VJPs, once per solve).
+    """
+
+    @jax.custom_vjp
+    def mv(blocks, pv):
+        return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
+
+    def fwd(blocks, pv):
+        return mv(blocks, pv), (blocks, pv)
+
+    def bwd(res, g):
+        blocks, pv = res
+        g = g.astype(pv.dtype)
+        bar_pv = block_matvec_pallas(layout, blocks, g, interpret=interpret)
+        grouped = pv.reshape(layout.num_row_blocks, BLOCK, -1)
+        cb = grouped[layout.block_col].reshape(
+            layout.num_row_blocks, layout.max_blocks * BLOCK, -1
+        )
+        gg = g.reshape(layout.num_row_blocks, BLOCK, -1)
+        if blocks.dtype == jnp.bfloat16:
+            bar_blocks = jnp.einsum(
+                "rib,rkb->rik",
+                gg.astype(jnp.bfloat16),
+                cb.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        else:
+            bar_blocks = jnp.einsum(
+                "rib,rkb->rik", gg, cb, precision=jax.lax.Precision.HIGHEST
+            )
+        return bar_blocks, bar_pv
+
+    mv.defvjp(fwd, bwd)
+    return mv
 
 
 def matvec(layout: BlockLayout, blocks: jnp.ndarray, v: jnp.ndarray,

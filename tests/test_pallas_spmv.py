@@ -24,3 +24,84 @@ def test_pallas_matches_einsum(rng):
     expected = block_sparse.matvec(layout, blocks, v)
     got = pallas_matvec(layout, blocks, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def small_block_problem(rng):
+    centers = rng.standard_normal((4, 8)).astype(np.float32) * 3
+    x = centers[rng.integers(0, 4, 600)] + 0.2 * rng.standard_normal(
+        (600, 8)
+    ).astype(np.float32)
+    graph = build_graph(x, 8)
+    coeffs = laplacian_coeffs(graph, 0.5)
+    layout = block_sparse.build_block_layout(graph)
+    assert layout is not None
+    return graph, coeffs, layout
+
+
+def test_pallas_ad_forward_and_vjp(small_block_problem, rng):
+    """make_matvec_ad (interpret mode): forward matches einsum; VJP w.r.t.
+    both blocks and operand matches jax.grad of the einsum path."""
+    import jax
+
+    from manifold_gp_tpu.ops.pallas_spmv import make_matvec_ad
+
+    graph, coeffs, layout = small_block_problem
+    blocks = block_sparse.assemble(layout, coeffs.diag, coeffs.triu)
+    v = jnp.asarray(rng.standard_normal((600, 4)).astype(np.float32))
+    pv = block_sparse.permute_in(layout, v)
+    cot = jnp.asarray(
+        rng.standard_normal((layout.num_padded, 4)).astype(np.float32)
+    )
+    mv_ad = make_matvec_ad(layout, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(mv_ad(blocks, pv)),
+        np.asarray(block_sparse.matvec_permuted(layout, blocks, pv)),
+        atol=2e-5,
+    )
+
+    def loss_pallas(blocks, pv):
+        return jnp.sum(mv_ad(blocks, pv) * cot)
+
+    def loss_einsum(blocks, pv):
+        return jnp.sum(block_sparse.matvec_permuted(layout, blocks, pv) * cot)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(blocks, pv)
+    ge = jax.grad(loss_einsum, argnums=(0, 1))(blocks, pv)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(ge[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(ge[1]), atol=2e-5)
+
+
+def test_fused_precision_pallas_interpret(small_block_problem, rng):
+    """End-to-end: the fused Matérn precision on the Pallas kernel (interpret)
+    matches the einsum fused path, value and bandwidth/lengthscale grads."""
+    import functools
+    import unittest.mock
+
+    import jax
+
+    from manifold_gp_tpu.ops import pallas_spmv
+    from manifold_gp_tpu.ops.matern import make_matern_precision_matvec
+
+    graph, _, layout = small_block_problem
+    v = jnp.asarray(rng.standard_normal((600,)).astype(np.float32))
+
+    interp_ad = functools.partial(pallas_spmv.make_matvec_ad, interpret=True)
+
+    def quad(eps, ls, pallas):
+        c = laplacian_coeffs(graph, eps)
+        blk = (layout, block_sparse.assemble(layout, c.diag, c.triu))
+        mv = make_matern_precision_matvec(
+            graph, c, 2, ls, "randomwalk", block=blk, pallas=pallas
+        )
+        return jnp.sum(v * mv(v[:, None])[:, 0])
+
+    args = (jnp.float32(0.4), jnp.float32(1.1))
+    with unittest.mock.patch.object(pallas_spmv, "make_matvec_ad", interp_ad):
+        val_p = quad(*args, True)
+        g_p = jax.grad(quad, argnums=(0, 1))(*args, True)
+    val_e = quad(*args, False)
+    g_e = jax.grad(quad, argnums=(0, 1))(*args, False)
+    np.testing.assert_allclose(float(val_p), float(val_e), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_e), rtol=1e-4)

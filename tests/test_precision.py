@@ -125,3 +125,54 @@ def test_schur_gradient_flows(graph, rng):
     h = 1e-2
     fd = (f(jnp.float32(LS + h)) - f(jnp.float32(LS - h))) / (2 * h)
     np.testing.assert_allclose(float(g), float(fd), rtol=5e-2)
+
+
+@pytest.mark.parametrize("normalization", ["symmetric", "randomwalk"])
+@pytest.mark.parametrize("permuted_io", [False, True])
+def test_fused_block_precision_matvec(graph, normalization, permuted_io, rng):
+    """The fused block path (shifted panel diagonal, boundary D^{1/2}
+    scalings) must match the dense oracle exactly like the loop path."""
+    from manifold_gp_tpu.ops.block_sparse import (
+        build_block_layout,
+        assemble,
+        permute_in,
+        permute_out,
+    )
+
+    layout = build_block_layout(graph)
+    assert layout is not None
+    c = laplacian_coeffs(graph, EPS)
+    blocks = assemble(layout, c.diag, c.triu)
+    mv = make_matern_precision_matvec(
+        graph, c, NU, LS, normalization,
+        block=(layout, blocks), permuted_io=permuted_io,
+    )
+    v = rng.standard_normal((graph.num_nodes, 2)).astype(np.float32)
+    expected = _dense_prec(graph, normalization) @ v
+    if permuted_io:
+        got = np.asarray(permute_out(layout, mv(permute_in(layout, jnp.asarray(v)))))
+    else:
+        got = np.asarray(mv(jnp.asarray(v)))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_fused_block_precision_gradient(graph, rng):
+    """d/d(lengthscale) and d/d(bandwidth) must flow through the shifted
+    panel scatter identically to the loop path."""
+    from manifold_gp_tpu.ops.block_sparse import assemble, build_block_layout
+
+    layout = build_block_layout(graph)
+    v = jnp.asarray(rng.standard_normal((graph.num_nodes,)).astype(np.float32))
+
+    def quad(eps, ls, block):
+        c = laplacian_coeffs(graph, eps)
+        blk = (layout, assemble(layout, c.diag, c.triu)) if block else None
+        mv = make_matern_precision_matvec(graph, c, NU, ls, "randomwalk", block=blk)
+        return jnp.sum(v * mv(v[:, None])[:, 0])
+
+    args = (jnp.float32(EPS), jnp.float32(LS))
+    g_block = jax.grad(quad, argnums=(0, 1))(*args, True)
+    g_loop = jax.grad(quad, argnums=(0, 1))(*args, False)
+    np.testing.assert_allclose(
+        np.asarray(g_block), np.asarray(g_loop), rtol=1e-4, atol=1e-6
+    )
