@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""Large-scale synthetic-manifold benchmark (BASELINE.json config 5:
+"Row-sharded synthetic 1M-point manifold, multi-host CG").
+
+A 1M-point noisy closed curve in R^3 with a procedurally banded kNN edge
+list (the bench measures SpMV/CG throughput; the one-time kNN build is
+benchmarked separately by bench.py's graph build and tools/). Two paths:
+
+  * single-device: the fused block-sparse Matérn-precision CG hot loop
+    (Pallas kernel on TPU, einsum elsewhere), fixed CG iteration count,
+    reporting Laplacian-equivalent matvecs/s;
+  * row-sharded (--mesh N): the shard_map SpMV + GSPMD CG over an N-device
+    mesh — on this host a virtual CPU mesh (validates the multi-chip
+    program: ICI all-gather per matvec, psum'd dot products); on a pod
+    slice the same code runs over real ICI.
+
+Usage:
+  python benchmark/bench_large_scale.py                  # 1M, single device
+  python benchmark/bench_large_scale.py --n 100000
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python benchmark/bench_large_scale.py --n 131072 --mesh 8 --batch 16
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def synthetic_manifold_graph(n: int, k: int = 16, seed: int = 0):
+    """Banded kNN graph over a noisy closed 3D curve.
+
+    Nodes are ordered along the curve; node i connects to i+1 .. i+k/2
+    (mod n) with true squared point distances — the same band structure an
+    exact kNN search recovers on a densely sampled curve, built in O(nk)
+    host time instead of O(n^2).
+    """
+    from manifold_gp_tpu.ops.graph import graph_from_edges
+
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    x = np.stack(
+        [np.cos(t), np.sin(t), 0.3 * np.sin(2 * t)], axis=1
+    ).astype(np.float32)
+    x += (0.1 / n) * rng.standard_normal(x.shape).astype(np.float32)
+
+    half = max(1, k // 2)
+    rows = np.repeat(np.arange(n, dtype=np.int64), half)
+    offs = np.tile(np.arange(1, half + 1, dtype=np.int64), n)
+    cols = (rows + offs) % n
+    d = x[rows] - x[cols]
+    sqd = np.einsum("ij,ij->i", d, d).astype(np.float32)
+    r2 = np.minimum(rows, cols)
+    c2 = np.maximum(rows, cols)
+    return graph_from_edges(r2, c2, sqd, n), x
+
+
+def bench_single_device(graph, eps, nu, ls, batch, cg_iters):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu.ops.block_sparse import build_block_layout, permute_in
+    from manifold_gp_tpu.ops.cg import cg_raw
+    from manifold_gp_tpu.ops.laplacian import laplacian_coeffs
+    from manifold_gp_tpu.ops.matern import make_matern_precision_matvec
+
+    coeffs = laplacian_coeffs(graph, eps)
+    layout = build_block_layout(graph)
+    pallas = layout is not None and jax.devices()[0].platform == "tpu"
+    n = graph.num_nodes
+    print(
+        f"# single-device: N={n} layout="
+        + (
+            f"block(S={layout.max_blocks}, panel="
+            f"{layout.num_padded * layout.max_blocks * 128 * 4 / 1e9:.2f} GB)"
+            if layout
+            else "ell-gather"
+        )
+        + f" pallas={pallas}",
+        file=sys.stderr,
+    )
+
+    # Every large array (graph, layout, coefficients) is a jit ARGUMENT, not
+    # a closure constant — the tunneled backend ships program constants with
+    # the compile request, which has a hard size limit.
+    @jax.jit
+    def run_cg(graph_, layout_, c, b):
+        mv = make_matern_precision_matvec(
+            graph_, c, nu, ls, "randomwalk",
+            block=(layout_, None) if layout_ is not None else None,
+            permuted_io=layout_ is not None, pallas=pallas,
+        )
+        # tol=0 forces exactly cg_iters iterations -> deterministic matvec count
+        return cg_raw(mv, b, tol=0.0, max_iter=cg_iters)
+
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((n, batch)).astype(np.float32))
+    if layout is not None:
+        b = permute_in(layout, b)
+    x = run_cg(graph, layout, coeffs, b)
+    float(x[0, 0])  # completion fence (block_until_ready unreliable on tunnel)
+    reps = 2
+    t0 = time.perf_counter()
+    out = b
+    for _ in range(reps):
+        out = run_cg(graph, layout, coeffs, out)
+    float(out[0, 0])
+    dt = time.perf_counter() - t0
+    # one Q matvec per CG iteration (+1 unaccounted init) = nu Laplacian applies
+    matvecs = reps * cg_iters * nu * batch
+    return matvecs / dt
+
+
+def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu.ops.cg import cg_raw
+    from manifold_gp_tpu.ops.laplacian import laplacian_coeffs
+    from manifold_gp_tpu.parallel import (
+        make_mesh,
+        make_sharded_matern_precision_matvec,
+        pad_nodes,
+    )
+
+    devices = jax.devices()
+    if len(devices) < mesh_size:
+        devices = jax.devices("cpu")
+    assert len(devices) >= mesh_size, f"need {mesh_size} devices"
+    mesh = make_mesh(mesh_size, devices=devices)
+    coeffs = laplacian_coeffs(graph, eps)
+    mv, n_pad = make_sharded_matern_precision_matvec(
+        graph, mesh, coeffs, nu, ls, "randomwalk"
+    )
+    print(
+        f"# sharded: N={graph.num_nodes} padded={n_pad} mesh={mesh_size}x"
+        f"{devices[0].platform}",
+        file=sys.stderr,
+    )
+
+    @jax.jit
+    def run_cg(b):
+        return cg_raw(mv, b, tol=0.0, max_iter=cg_iters)
+
+    rng = np.random.default_rng(1)
+    b_host = np.zeros((n_pad, batch), np.float32)
+    b_host[: graph.num_nodes] = rng.standard_normal(
+        (graph.num_nodes, batch)
+    ).astype(np.float32)
+    b = pad_nodes(b_host, n_pad, mesh)
+    x = run_cg(b)
+    float(x[0, 0])
+    reps = 2
+    t0 = time.perf_counter()
+    out = b
+    for _ in range(reps):
+        out = run_cg(out)
+    float(out[0, 0])
+    dt = time.perf_counter() - t0
+    matvecs = reps * cg_iters * nu * batch
+    return matvecs / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--cg-iters", type=int, default=20)
+    ap.add_argument("--nu", type=int, default=2)
+    ap.add_argument("--eps", type=float, default=None,
+                    help="graph bandwidth (default: 2x median edge length)")
+    ap.add_argument("--ls", type=float, default=1.0)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="row-shard over this many devices (0 = single)")
+    args = ap.parse_args()
+
+    t0 = time.perf_counter()
+    graph, _ = synthetic_manifold_graph(args.n, args.k)
+    print(f"# graph build: {time.perf_counter() - t0:.1f}s, "
+          f"M={graph.num_edges}", file=sys.stderr)
+    eps = args.eps
+    if eps is None:
+        eps = 2.0 * float(np.sqrt(np.median(np.asarray(graph.sqdist))))
+
+    if args.mesh:
+        rate = bench_sharded(
+            graph, eps, args.nu, args.ls, args.batch, args.cg_iters, args.mesh
+        )
+        label = f"sharded_cg_matvecs_per_s_mesh{args.mesh}"
+    else:
+        rate = bench_single_device(
+            graph, eps, args.nu, args.ls, args.batch, args.cg_iters
+        )
+        label = "cg_matvecs_per_s_1chip"
+    import json
+
+    print(json.dumps({
+        "metric": label, "value": round(rate, 1), "unit": "matvec/s",
+        "n": args.n, "k": args.k, "batch": args.batch,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,8 +72,14 @@ def make_matern_precision_matvec(
         # Assemble the shifted panels directly from (diag + 1/a, triu): one
         # scatter per step instead of assemble + a second full-buffer shift
         # pass (TPU scatters over the panel buffer cost ~ms; see assemble).
+        # ``blocks`` only pins the panel dtype here and may be None (callers
+        # that jit over huge graphs pass the layout alone so no panel buffer
+        # rides along as a program constant).
         qblocks = assemble(
-            layout, coeffs.diag + 1.0 / diag, coeffs.triu, dtype=blocks.dtype
+            layout,
+            coeffs.diag + 1.0 / diag,
+            coeffs.triu,
+            dtype=None if blocks is None else blocks.dtype,
         )
         dsq_p = jnp.sqrt(deg_full if permuted_io else deg_full[layout.perm])
         if pallas:

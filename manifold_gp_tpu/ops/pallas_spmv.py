@@ -105,6 +105,12 @@ def block_matvec_pallas(
     )(layout.block_col, blocks, pv)
 
 
+# The fused kernel keeps the whole [Np, B] operand VMEM-resident; beyond
+# this budget (VMEM is ~16 MB less panel/accumulator slices) callers fall
+# back to the einsum path, which streams the gathered operand through HBM.
+_OPERAND_VMEM_BUDGET = 8 * 2**20
+
+
 def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     """Differentiable Pallas block matvec: (blocks, pv) -> L @ pv in permuted
     space, with a custom VJP so the *training* hot loop can run the fused
@@ -121,11 +127,11 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     """
 
     @jax.custom_vjp
-    def mv(blocks, pv):
+    def mv_pallas(blocks, pv):
         return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
 
     def fwd(blocks, pv):
-        return mv(blocks, pv), (blocks, pv)
+        return mv_pallas(blocks, pv), (blocks, pv)
 
     def bwd(res, g):
         blocks, pv = res
@@ -149,7 +155,17 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
             )
         return bar_blocks, bar_pv
 
-    mv.defvjp(fwd, bwd)
+    mv_pallas.defvjp(fwd, bwd)
+
+    def mv(blocks, pv):
+        # Trace-time dispatch: operands too large for VMEM residency take the
+        # einsum path (differentiable through XLA as usual).
+        from .block_sparse import matvec_permuted
+
+        if layout.num_padded * pv.shape[1] * pv.dtype.itemsize > _OPERAND_VMEM_BUDGET:
+            return matvec_permuted(layout, blocks, pv)
+        return mv_pallas(blocks, pv)
+
     return mv
 
 

@@ -7,9 +7,16 @@ from .mesh import (
     make_mesh,
     use_mesh,
 )
-from .spmv import sharded_adjacency_matvec, shard_graph_rows
+from .spmv import (
+    make_sharded_matern_precision_matvec,
+    pad_nodes,
+    sharded_adjacency_matvec,
+    shard_graph_rows,
+)
 
 __all__ = [
+    "make_sharded_matern_precision_matvec",
+    "pad_nodes",
     "ShardingContext",
     "init_distributed",
     "active_context",

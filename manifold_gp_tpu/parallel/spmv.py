@@ -83,3 +83,60 @@ def sharded_adjacency_matvec(ell_edge, ell_col, ell_mask, triu, v, mesh: Mesh):
         out_specs=P(NODE_AXIS, None),
     )
     return fn(ell_edge, ell_col, ell_mask, triu, v)
+
+
+def pad_nodes(a, n_padded: int, mesh: Mesh = None, fill: float = 0.0):
+    """Pad a [N]-leading array to the mesh-divisible row count and (optionally)
+    lay it out row-sharded."""
+    a = np.asarray(a)
+    pad = n_padded - a.shape[0]
+    if pad:
+        a = np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+        )
+    if mesh is None:
+        return jnp.asarray(a)
+    spec = P(NODE_AXIS, *([None] * (a.ndim - 1)))
+    return jax.device_put(a, NamedSharding(mesh, spec))
+
+
+def make_sharded_matern_precision_matvec(
+    graph: SparseGraph,
+    mesh: Mesh,
+    coeffs,
+    nu: int,
+    lengthscale,
+    normalization: str = "randomwalk",
+):
+    """Row-sharded symmetric Matérn precision matvec for multi-chip CG/SLQ.
+
+    The same telescoped form as the single-chip fused block path
+    (ops/matern.py): Q = D^{1/2} (2 nu/l^2 I + L_sym)^nu D^{1/2}
+    (randomwalk; the symmetric normalization drops the D factors). Each of
+    the nu inner applications is one row-sharded SpMV (ICI all-gather of the
+    operand block) plus a row-local diagonal term; CG dot products over the
+    sharded vectors reduce with psum under GSPMD automatically.
+
+    Returns (matvec, n_padded): matvec maps row-sharded [Np, B] -> [Np, B]
+    (padding rows must be zero, as produced by ``pad_nodes``).
+    """
+    ell_edge, ell_col, ell_mask, n_pad = shard_graph_rows(graph, mesh)
+    shift = 2.0 * nu / jnp.square(jnp.reshape(lengthscale, ()))
+    diag_p = pad_nodes(np.asarray(coeffs.diag), n_pad, mesh)
+    # Padding rows get degree 1 so sqrt/mul keep the zero padding invariant.
+    dsq_p = jnp.sqrt(pad_nodes(np.asarray(coeffs.deg), n_pad, mesh, fill=1.0))
+
+    def matvec(v):
+        out = v
+        if normalization == "randomwalk":
+            out = out * dsq_p[:, None]
+        for _ in range(nu):
+            av = sharded_adjacency_matvec(
+                ell_edge, ell_col, ell_mask, coeffs.triu, out, mesh
+            )
+            out = (diag_p + shift)[:, None] * out - av
+        if normalization == "randomwalk":
+            out = out * dsq_p[:, None]
+        return out
+
+    return matvec, n_pad
