@@ -148,7 +148,10 @@ def build_graph(x, nearest_neighbors: int, knn_backend: str = "device") -> Spars
 
     knn_backend: 'device' runs the MXU-tiled search on the accelerator;
     'host' uses the native C++ (or numpy) exact kNN — preferable when the
-    accelerator sits behind a high-latency link or is busy.
+    accelerator sits behind a high-latency link or is busy; 'ivf' trains an
+    inverted-file coarse quantizer on device and searches approximately
+    (the reference's IndexIVFFlat regime for large N,
+    ``utils/nearest_neighbors.py:12,23-25``).
     """
     if knn_backend == "host":
         from ..utils.native import knn_search_host
@@ -157,6 +160,15 @@ def build_graph(x, nearest_neighbors: int, knn_backend: str = "device") -> Spars
         sqd_h, idx_h = knn_search_host(xh, xh, nearest_neighbors)
         sqd, idx = sqd_h, idx_h
         x = jnp.asarray(xh)
+    elif knn_backend == "ivf":
+        from .knn import ivf_build, ivf_search
+
+        x = jnp.asarray(x, jnp.float32)
+        index = ivf_build(x)
+        nprobe = max(16, index.nlist // 4)
+        sqd, idx = ivf_search(
+            index, x, nearest_neighbors, nprobe=nprobe, self_query=True
+        )
     else:
         x = jnp.asarray(x, jnp.float32)
         sqd, idx = knn_search(x, x, nearest_neighbors, self_query=True)
@@ -170,6 +182,12 @@ def build_graph(x, nearest_neighbors: int, knn_backend: str = "device") -> Spars
     # Upper-triangular orientation, matching the reference's split on
     # cols > rows (utils/nearest_neighbors.py:49-50): c > r kept as (r, c),
     # c <= r flipped to (c, r).
+    # Approximate (IVF) search can return fewer than k valid neighbors for a
+    # query whose probed lists underfill; those slots carry +inf distances —
+    # drop them before symmetrization.
+    finite = np.isfinite(vals)
+    if not finite.all():
+        rows, cols, vals = rows[finite], cols[finite], vals[finite]
     flip = ~(cols > rows)
     r2 = np.where(flip, cols, rows)
     c2 = np.where(flip, rows, cols)

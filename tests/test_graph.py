@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from manifold_gp_tpu.ops.graph import build_graph, coalesce_mean
 from manifold_gp_tpu.ops.knn import knn_search
@@ -78,3 +79,60 @@ def test_graph_edge_values_are_sq_distances(small_cloud):
     rows, cols = np.asarray(g.rows), np.asarray(g.cols)
     expected = ((x[rows] - x[cols]) ** 2).sum(-1)
     np.testing.assert_allclose(np.asarray(g.sqdist), expected, rtol=1e-3, atol=1e-5)
+
+
+class TestIVF:
+    """Inverted-file approximate kNN (the reference's IndexIVFFlat regime)."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self):
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((16, 8)).astype(np.float32) * 4
+        x = centers[rng.integers(0, 16, 4000)] + 0.3 * rng.standard_normal(
+            (4000, 8)
+        ).astype(np.float32)
+        return x
+
+    def test_recall_vs_exact(self, clustered):
+        from manifold_gp_tpu.ops.knn import ivf_build, ivf_search, knn_search
+
+        k = 10
+        exact_d, exact_i = knn_search(clustered, clustered, k, self_query=True)
+        index = ivf_build(clustered, nlist=64)
+        approx_d, approx_i = ivf_search(
+            index, clustered, k, nprobe=16, self_query=True
+        )
+        hits = 0
+        ei = np.asarray(exact_i)
+        ai = np.asarray(approx_i)
+        for r in range(ei.shape[0]):
+            hits += len(set(ei[r]) & set(ai[r]))
+        recall = hits / ei.size
+        assert recall > 0.95, recall
+        # self-match pinned to column 0 with zero distance
+        np.testing.assert_array_equal(ai[:, 0], np.arange(ei.shape[0]))
+        np.testing.assert_allclose(np.asarray(approx_d)[:, 0], 0.0)
+
+    def test_ivf_graph_build(self, clustered):
+        graph = build_graph(clustered, 8, knn_backend="ivf")
+        assert graph.num_nodes == clustered.shape[0]
+        r = np.asarray(graph.rows)
+        c = np.asarray(graph.cols)
+        assert (r <= c).all()
+        # approximate search: every node keeps at least a few neighbors and
+        # the average degree stays near the symmetrized-kNN expectation
+        deg = np.bincount(np.concatenate([r, c]), minlength=graph.num_nodes)
+        assert deg.min() >= 3
+        assert deg.mean() > 7
+
+    def test_nearest_neighbors_ivf_wrapper(self, clustered):
+        from manifold_gp_tpu.ops.knn import NearestNeighbors, knn_search
+
+        nn = NearestNeighbors(clustered, use_ivf=True, nlist=64, nprobe=32)
+        d, i = nn.search(clustered[:100], 5)
+        ed, ei = knn_search(clustered, clustered[:100], 5)
+        overlap = np.mean([
+            len(set(np.asarray(ei)[r]) & set(np.asarray(i)[r])) / 5
+            for r in range(100)
+        ])
+        assert overlap > 0.9, overlap
