@@ -28,6 +28,48 @@ def load_params(path) -> dict:
     return {k: jnp.asarray(d[k]) for k in d.files}
 
 
+def save_training_state(path, params, opt_state, epoch: int, lr, sched_state, key):
+    """Full resumable training state (params + optimizer moments + scheduler
+    + PRNG key + epoch). The reference has no resume at all (SURVEY §5:
+    restart-from-scratch only); this enables checkpoint-every-k-epochs +
+    restart for long runs. Atomic write (tmp + rename)."""
+    import pickle
+
+    import jax
+
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    state = {
+        "params": jax.tree.map(np.asarray, params),
+        "opt_state": jax.tree.map(np.asarray, opt_state),
+        "epoch": int(epoch),
+        "lr": float(lr),
+        "sched_state": jax.tree.map(np.asarray, sched_state),
+        "key": np.asarray(key),
+    }
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    tmp.replace(path)
+
+
+def load_training_state(path):
+    """Returns the dict saved by ``save_training_state`` (arrays as jnp), or
+    None when the file does not exist."""
+    import pickle
+
+    import jax
+
+    path = pathlib.Path(path)
+    if not path.exists():
+        return None
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    return jax.tree.map(
+        lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, state
+    )
+
+
 def array_fingerprint(*arrays) -> str:
     h = hashlib.sha256()
     for a in arrays:

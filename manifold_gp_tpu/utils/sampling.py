@@ -17,3 +17,16 @@ def grid_uniform(key, center, la, lb=None, samples: int = 1):
     return jax.random.uniform(
         key, (samples, 2), jnp.float32, minval=lo, maxval=hi
     )
+
+
+def sample_posterior(posterior, key, num_samples: int, jitter: float = 1e-6):
+    """Joint samples [num_samples, n*] from any ``Posterior`` (mean, covar)
+    via a jittered dense Cholesky — the generic path for hybrid/vanilla
+    posteriors whose covariance is already materialized. For the geometric
+    model prefer ``RiemannGP.posterior_samples`` (O(m^2) feature-space
+    sampling, no n*^3 factorization)."""
+    n = posterior.mean.shape[0]
+    cov = posterior.covar + jitter * jnp.eye(n, dtype=posterior.covar.dtype)
+    chol = jnp.linalg.cholesky(cov)
+    xi = jax.random.normal(key, (n, num_samples), posterior.mean.dtype)
+    return (posterior.mean[:, None] + chol @ xi).T

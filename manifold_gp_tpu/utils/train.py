@@ -77,6 +77,9 @@ def _train_loop(
     callback_period: Optional[int] = None,
     metrics=None,
     chunk_size: int = 50,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = True,
 ):
     """Chunked training driver.
 
@@ -147,12 +150,29 @@ def _train_loop(
     history: list = []
     epoch = 0
     stop = False
+    if checkpoint_path and resume:
+        from .checkpoint import load_training_state
+
+        ckpt = load_training_state(checkpoint_path)
+        if ckpt is not None and ckpt["epoch"] < total:
+            params, opt_state = ckpt["params"], ckpt["opt_state"]
+            epoch, cur_lr = ckpt["epoch"], jnp.float32(ckpt["lr"])
+            sched_state, key = tuple(ckpt["sched_state"]), ckpt["key"]
+            if verbose:
+                print(f"[resume] epoch {epoch} from {checkpoint_path}")
+    next_ckpt = (
+        (epoch // checkpoint_every + 1) * checkpoint_every
+        if (checkpoint_path and checkpoint_every)
+        else None
+    )
     while epoch < total and not stop:
         length = min(
             period - (epoch % period) if period else total,
             total - epoch,
             chunk_size,
         )
+        if next_ckpt is not None:
+            length = min(length, next_ckpt - epoch)
         (params, opt_state, key, cur_lr, sched_state), outs = run_chunk(
             params, opt_state, key, cur_lr, sched_state, length=length
         )
@@ -177,6 +197,14 @@ def _train_loop(
                     msg.append(f"{label[name]}: {outs[name][j]:0.3f}")
                 print(",\t".join(msg))
         epoch += length
+        if next_ckpt is not None and epoch >= next_ckpt:
+            from .checkpoint import save_training_state
+
+            save_training_state(
+                checkpoint_path, params, opt_state, epoch, float(cur_lr),
+                sched_state, key,
+            )
+            next_ckpt = (epoch // checkpoint_every + 1) * checkpoint_every
         # Parity quirk: the reference's early stop compares against a 1e6
         # sentinel that is never updated (train_model.py:59,92-94), so it
         # effectively never fires and training runs all max_iter+1 epochs.
@@ -201,10 +229,16 @@ def manifold_informed_train(
     verbose: bool = False,
     seed: int = 0,
     metrics=None,
+    checkpoint_path=None,
+    checkpoint_every=None,
+    resume: bool = True,
 ):
     """IMGP hyperparameter training (reference train_model.py:49-109).
 
-    Returns (params, final_loss, history).
+    ``checkpoint_path`` + ``checkpoint_every`` enable resumable training
+    (full optimizer/scheduler/PRNG state every k epochs; restart picks up
+    where the last checkpoint left off). Returns (params, final_loss,
+    history).
     """
     key = jax.random.PRNGKey(seed + 7919)
 
@@ -240,6 +274,9 @@ def manifold_informed_train(
         on_epoch_end=on_epoch_end if update_norm is not None else None,
         callback_period=(update_norm + 1) if update_norm is not None else None,
         metrics=metrics,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
     )
 
     if model.use_outputscale:
@@ -260,6 +297,9 @@ def vanilla_train(
     verbose: bool = False,
     seed: int = 0,
     metrics=None,
+    checkpoint_path=None,
+    checkpoint_every=None,
+    resume: bool = True,
 ):
     """Standard exact-MLL training (reference train_model.py:10-46)."""
     params, loss_val, history = _train_loop(
@@ -274,5 +314,8 @@ def vanilla_train(
         verbose,
         seed,
         metrics=metrics,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
     )
     return params, loss_val, history

@@ -229,3 +229,71 @@ def test_hybrid_posterior_blend(small_cloud):
     np.testing.assert_allclose(
         np.asarray(post.mean), np.asarray(vpost.mean), rtol=1e-4, atol=1e-5
     )
+
+
+def test_posterior_samples_match_moments(small_cloud):
+    """Pathwise feature-space samples reproduce the posterior's mean and
+    covariance (and the generic dense sampler agrees)."""
+    x, y = small_cloud
+    model = _make_model(x, y)
+    params = model.init_params(
+        noise=1e-2, outputscale=1.0, graphbandwidth=EPS, lengthscale=1.0
+    )
+    model.eval(params)
+    xq = x[:40]
+    post = model.posterior(params, xq)
+    s = model.posterior_samples(params, xq, jax.random.PRNGKey(0), 20000)
+    assert s.shape == (20000, 40)
+    emp_mean = np.asarray(s).mean(axis=0)
+    np.testing.assert_allclose(emp_mean, np.asarray(post.mean), atol=2e-2)
+    emp_cov = np.cov(np.asarray(s).T)
+    np.testing.assert_allclose(emp_cov, np.asarray(post.covar), atol=2e-2)
+
+    from manifold_gp_tpu.utils import sample_posterior
+
+    s2 = sample_posterior(post, jax.random.PRNGKey(1), 20000)
+    np.testing.assert_allclose(
+        np.asarray(s2).mean(axis=0), np.asarray(post.mean), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.cov(np.asarray(s2).T), np.asarray(post.covar), atol=2e-2
+    )
+
+
+def test_checkpoint_resume_reproduces_uninterrupted_run(small_cloud, tmp_path):
+    """Training 12 epochs with a checkpoint every 5, killed after 10 and
+    resumed, must land exactly where an uninterrupted run lands."""
+    x, y = small_cloud
+    ck = str(tmp_path / "state.pkl")
+
+    def fresh():
+        model = _make_model(x, y)
+        params = model.init_params(
+            noise=1e-2, outputscale=1.0, graphbandwidth=EPS, lengthscale=1.0
+        )
+        return model, params
+
+    model, params = fresh()
+    p_full, loss_full, _ = manifold_informed_train(
+        model, params, lr=1e-1, max_iter=12, verbose=False
+    )
+
+    model2, params2 = fresh()
+    # "crash" after 10 epochs (chunk cut at the checkpoint boundary)
+    manifold_informed_train(
+        model2, params2, lr=1e-1, max_iter=9,
+        checkpoint_path=ck, checkpoint_every=5, verbose=False,
+    )
+    model3, params3 = fresh()
+    p_res, loss_res, _ = manifold_informed_train(
+        model3, params3, lr=1e-1, max_iter=12,
+        checkpoint_path=ck, checkpoint_every=5, verbose=False,
+    )
+    # The resumed run restarts from epoch 10's checkpoint; outputscale
+    # normalization uses fresh keys pre/post so compare the raw kernel
+    # hypers and the final loss.
+    np.testing.assert_allclose(float(loss_res), float(loss_full), rtol=1e-3)
+    for k in ("raw_graphbandwidth", "raw_lengthscale", "raw_noise"):
+        np.testing.assert_allclose(
+            np.asarray(p_res[k]), np.asarray(p_full[k]), rtol=1e-3, atol=1e-5
+        )
