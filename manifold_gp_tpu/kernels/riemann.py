@@ -212,18 +212,26 @@ class RiemannKernel:
         feats = jnp.sqrt(density)[None, :] * ext * window[:, None]
         return jnp.where(within[:, None], feats, 0.0)
 
-    def features(self, params, basis, x):
-        """Dispatch in-sample vs out-of-sample exactly like the reference's
-        ``torch.equal(x, self.knn.x)`` check (riemann_kernel.py:132-138)."""
-        x = jnp.asarray(x, jnp.float32)
-        if x.shape == self.x.shape and bool(jnp.array_equal(x, self.x)):
-            return self.features_train(params, basis)
-        return self.features_test(params, basis, x)
+    def features(self, params, basis, x, is_train: Optional[bool] = None):
+        """In-sample vs out-of-sample feature dispatch (the reference's
+        ``torch.equal(x, self.knn.x)`` check, riemann_kernel.py:132-138).
 
-    def gram(self, params, basis, x1, x2=None):
+        ``is_train`` makes the dispatch explicit; when None the check is by
+        *object identity* only (``x is self.x``) — never a device-synced
+        full-array compare, which at 1M nodes would stall the prediction path
+        on an O(N*D) host round trip per call. Pass the kernel's own ``x``
+        (or ``is_train=True``) to get in-sample features for the graph nodes.
+        """
+        if is_train is None:
+            is_train = x is self.x
+        if is_train:
+            return self.features_train(params, basis)
+        return self.features_test(params, basis, jnp.asarray(x, jnp.float32))
+
+    def gram(self, params, basis, x1, x2=None, is_train1=None, is_train2=None):
         """Covariance k(x1, x2) from spectral features (no outputscale)."""
-        z1 = self.features(params, basis, x1)
-        z2 = z1 if x2 is None else self.features(params, basis, x2)
+        z1 = self.features(params, basis, x1, is_train=is_train1)
+        z2 = z1 if x2 is None else self.features(params, basis, x2, is_train=is_train2)
         return jnp.matmul(z1, z2.T, precision=_HIGHEST)
 
     # -- abstract ----------------------------------------------------------
@@ -302,7 +310,19 @@ class RiemannMaternKernel(RiemannKernel):
         padded-RCM-space vectors so compositions/solves built on top do no
         per-matvec permutation gathers."""
         c = self.coeffs(params) if coeffs is None else coeffs
-        dense, block = self._operator_state(c)
+        # Do NOT go through _operator_state here: the fused Matérn block path
+        # reassembles *shifted* panels itself, so assembling an unshifted
+        # panel buffer first would materialize a second GB-scale buffer per
+        # step outside jit (XLA DCE hides it only under jit). Pass the layout
+        # plus the desired panel dtype instead.
+        dense, block = None, None
+        if self.use_dense_operator:
+            dense = laplacian_dense(self.graph, c)
+        elif self.block_layout is not None:
+            panel_dtype = (
+                jnp.bfloat16 if self.cfg.spmv_dtype == "bfloat16" else None
+            )
+            block = (self.block_layout, panel_dtype)
         if block is None:
             permuted_io = False
         return make_matern_precision_matvec(

@@ -82,9 +82,10 @@ class RiemannGP:
         self._outputscale_decl = ConstrainedParam("outputscale", Positive())
         # Does train_x coincide with the kernel's graph nodes? Governs the
         # in-sample vs Nystrom feature path, like the reference's
-        # torch.equal(x, knn.x) check.
+        # torch.equal(x, knn.x) check. One host-side compare at construction
+        # (never per prediction call).
         self.train_is_graph = self.train_x.shape == kernel.x.shape and bool(
-            jnp.array_equal(self.train_x, kernel.x)
+            np.array_equal(np.asarray(self.train_x), np.asarray(kernel.x))
         )
 
     # -- parameters --------------------------------------------------------
@@ -220,11 +221,14 @@ class RiemannGP:
         noisy_posterior: bool = False,
         base_model=None,
         base_params=None,
+        is_train: Optional[bool] = None,
     ) -> Posterior:
         """Geometric posterior, optionally blended with a vanilla GP far from
-        the manifold (reference :45-75)."""
+        the manifold (reference :45-75). ``is_train=True`` forces the
+        in-sample feature path (queries are the graph nodes); by default the
+        dispatch is by object identity against the kernel's stored ``x``."""
         cache = self._cache
-        zs = self.kernel.features(params, cache["basis"], x)
+        zs = self.kernel.features(params, cache["basis"], x, is_train=is_train)
         mean = cache["mu"] + jnp.matmul(zs, cache["w"][:, None], precision=_HIGHEST)[:, 0]
         half = jax.scipy.linalg.solve_triangular(cache["chol_c"], zs.T, lower=True)
         covar = cache["sigma2"] * jnp.matmul(half.T, half, precision=_HIGHEST)
@@ -242,7 +246,13 @@ class RiemannGP:
         return Posterior(mean=mean, covar=covar, stddev=stddev)
 
     def posterior_samples(
-        self, params, x, key, num_samples: int, noisy_posterior: bool = False
+        self,
+        params,
+        x,
+        key,
+        num_samples: int,
+        noisy_posterior: bool = False,
+        is_train: Optional[bool] = None,
     ):
         """Pathwise joint posterior samples at ``x``: [num_samples, n*].
 
@@ -258,7 +268,7 @@ class RiemannGP:
         cache; this is the exact low-rank equivalent.
         """
         cache = self._cache
-        zs = self.kernel.features(params, cache["basis"], x)
+        zs = self.kernel.features(params, cache["basis"], x, is_train=is_train)
         mean = (
             cache["mu"]
             + jnp.matmul(zs, cache["w"][:, None], precision=_HIGHEST)[:, 0]

@@ -124,10 +124,30 @@ def _build_ell(rows, cols, num_nodes):
 
 
 def graph_from_edges(rows, cols, sqdist, num_nodes) -> SparseGraph:
-    """Assemble a SparseGraph from an already-coalesced triu edge list."""
+    """Assemble a SparseGraph from an already-coalesced triu edge list.
+
+    The edge list MUST be self-loop-free and duplicate-free: the block-ELL
+    assembly (``ops.block_sparse.assemble``) scatters with
+    ``unique_indices=True`` and keeps diagonal slots reserved for the
+    Laplacian diagonal, so a violating edge list would silently corrupt the
+    panels. Enforced host-side here (one-time, cheap) rather than assumed.
+    """
     rows = np.asarray(rows, np.int32)
     cols = np.asarray(cols, np.int32)
     sqdist = np.asarray(sqdist, np.float32)
+    if rows.size:
+        if np.any(rows == cols):
+            raise ValueError(
+                "graph_from_edges: self-loop edges (row == col) are not "
+                "allowed; drop the self-match column before assembling "
+                "(reference utils/nearest_neighbors.py:42-43)."
+            )
+        key = rows.astype(np.int64) * int(num_nodes) + cols.astype(np.int64)
+        if np.unique(key).size != key.size:
+            raise ValueError(
+                "graph_from_edges: duplicate (row, col) pairs; coalesce the "
+                "edge list first (see coalesce_mean)."
+            )
     ell_edge, ell_col, ell_mask, max_degree = _build_ell(rows, cols, num_nodes)
     return SparseGraph(
         rows=jnp.asarray(rows),

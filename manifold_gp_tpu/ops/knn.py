@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -178,14 +179,73 @@ def default_nlist(n: int) -> int:
     return max(1, 2 ** int(round(np.log2(max(np.sqrt(n), 1.0)))))
 
 
-def ivf_build(x, nlist: int = None, kmeans_iters: int = 10, seed: int = 0) -> IVFIndex:
-    """Train the coarse quantizer and bucket the database (host-side pack)."""
+def _numpy_kmeans(pts: np.ndarray, k: int, iters: int, rng: np.random.Generator):
+    """Tiny host-side Lloyd's for cluster re-splitting. Returns (cent, assign)."""
+    cent = pts[rng.choice(pts.shape[0], size=k, replace=False)]
+    assign = np.zeros(pts.shape[0], np.int64)
+    for _ in range(iters):
+        d = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                cent[j] = pts[sel].mean(0)
+    return cent, assign
+
+
+def _split_oversized_clusters(x_np, cent, assign, cap: int, seed: int):
+    """Re-split clusters whose occupancy exceeds ``cap`` with a local k-means,
+    appending the extra centroids. Bounds the padded posting-list width Lmax
+    (one skewed cluster would otherwise size every query's candidate gather
+    tensor [block, nprobe*Lmax, D] by the largest cluster)."""
+    rng = np.random.default_rng(seed)
+    cent = np.asarray(cent, np.float32).copy()
+    assign = np.asarray(assign, np.int64).copy()
+    for _ in range(8):  # best-effort rounds; local k-means may not balance
+        counts = np.bincount(assign, minlength=cent.shape[0])
+        oversized = np.flatnonzero(counts > cap)
+        if oversized.size == 0:
+            break
+        for c in oversized:
+            idx = np.flatnonzero(assign == c)
+            k_sub = min(int(-(-idx.size // cap)), idx.size)
+            if k_sub < 2:
+                continue
+            sub_cent, sub_assign = _numpy_kmeans(x_np[idx], k_sub, 5, rng)
+            base = cent.shape[0]
+            cent[c] = sub_cent[0]
+            cent = np.concatenate([cent, sub_cent[1:]], axis=0)
+            new_ids = np.concatenate([[c], np.arange(base, base + k_sub - 1)])
+            assign[idx] = new_ids[sub_assign]
+    return cent, assign
+
+
+def ivf_build(
+    x,
+    nlist: int = None,
+    kmeans_iters: int = 10,
+    seed: int = 0,
+    max_list_factor: float = 4.0,
+) -> IVFIndex:
+    """Train the coarse quantizer and bucket the database (host-side pack).
+
+    ``max_list_factor`` caps the padded list width at
+    ``max_list_factor * N / nlist`` by re-splitting oversized clusters
+    (extra centroids are appended); this keeps candidate-gather memory and
+    recall independent of cluster skew on clustered data.
+    """
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     if nlist is None:
         nlist = default_nlist(n)
     cent, assign = kmeans(x, num_clusters=nlist, iters=kmeans_iters, seed=seed)
+    cent = np.asarray(cent)
     assign = np.asarray(assign)
+    cap = max(int(max_list_factor * n / max(nlist, 1)), 8)
+    if np.bincount(assign, minlength=nlist).max() > cap:
+        cent, assign = _split_oversized_clusters(x_np=np.asarray(x), cent=cent,
+                                                 assign=assign, cap=cap, seed=seed)
+    nlist = cent.shape[0]
     order = np.argsort(assign, kind="stable")
     counts = np.bincount(assign, minlength=nlist)
     lmax = max(int(counts.max()), 1)
@@ -197,7 +257,7 @@ def ivf_build(x, nlist: int = None, kmeans_iters: int = 10, seed: int = 0) -> IV
     lists[assign[order], slots] = order.astype(np.int32)
     mask[assign[order], slots] = 1.0
     return IVFIndex(
-        centroids=cent,
+        centroids=jnp.asarray(cent),
         lists=jnp.asarray(lists),
         list_mask=jnp.asarray(mask),
         database=x,
@@ -279,12 +339,13 @@ class NearestNeighbors:
                 nprobe if nprobe is not None else max(8, self.index.nlist // 8)
             )
 
-    def search(self, queries, k: int):
-        """Returns (sqdist, idx), each [Nq, k]. If the queries are the stored
-        database array itself, the self-match is pinned to column 0."""
-        self_query = queries is self.x or (
-            queries.shape == self.x.shape and bool(jnp.array_equal(queries, self.x))
-        )
+    def search(self, queries, k: int, self_query: Optional[bool] = None):
+        """Returns (sqdist, idx), each [Nq, k]. If the queries ARE the stored
+        database array (object identity — never a device-synced array
+        compare), the self-match is pinned to column 0; pass ``self_query``
+        explicitly to override."""
+        if self_query is None:
+            self_query = queries is self.x
         if self.index is not None:
             return ivf_search(
                 self.index, jnp.asarray(queries, jnp.float32), k,

@@ -72,14 +72,20 @@ def make_matern_precision_matvec(
         # Assemble the shifted panels directly from (diag + 1/a, triu): one
         # scatter per step instead of assemble + a second full-buffer shift
         # pass (TPU scatters over the panel buffer cost ~ms; see assemble).
-        # ``blocks`` only pins the panel dtype here and may be None (callers
-        # that jit over huge graphs pass the layout alone so no panel buffer
-        # rides along as a program constant).
+        # ``blocks`` is either None (f32 panels), a dtype (pin the panel
+        # dtype without pre-assembling a buffer — the cheap calling
+        # convention), or a real panel buffer whose dtype is reused.
+        if blocks is None:
+            panel_dtype = None
+        elif isinstance(blocks, jnp.ndarray):
+            panel_dtype = blocks.dtype
+        else:
+            panel_dtype = blocks  # a dtype
         qblocks = assemble(
             layout,
             coeffs.diag + 1.0 / diag,
             coeffs.triu,
-            dtype=None if blocks is None else blocks.dtype,
+            dtype=panel_dtype,
         )
         dsq_p = jnp.sqrt(deg_full if permuted_io else deg_full[layout.perm])
         if pallas:

@@ -17,11 +17,13 @@ bf16 throughput (single-pass instead of 6-pass f32 emulation) — acceptable
 for CG at the reference's 1e-2 relative tolerance, gated behind
 ``InferenceConfig`` rather than default.
 
-NOTE: this kernel defines no VJP — it is the *inference/eval* accelerator
-(posterior solves, basis LOBPCG, SLQ forward). The training path keeps the
-einsum implementation in ops.block_sparse, which JAX differentiates through
-(gradients flow from the matvec back to the learnable graph bandwidth via
-the assembly scatter).
+NOTE: the bare ``block_matvec_pallas`` defines no autodiff rules; training
+uses ``make_matvec_ad``, which wraps it in a custom VJP (symmetric operator:
+bar_pv is one more fused matvec; bar_blocks is a per-row-block outer-product
+einsum) so the training hot loop (laplacian_matvec / matern precision with
+pallas=True) runs the fused kernel too. When the [Np, B] operand exceeds the
+VMEM-residency budget, ``make_matvec_ad`` falls back to the einsum path
+(same numerics, operand streamed through HBM by XLA).
 """
 
 from __future__ import annotations

@@ -28,11 +28,19 @@ def load_params(path) -> dict:
     return {k: jnp.asarray(d[k]) for k in d.files}
 
 
-def save_training_state(path, params, opt_state, epoch: int, lr, sched_state, key):
+def save_training_state(
+    path, params, opt_state, epoch: int, lr, sched_state, key, callback_key=None
+):
     """Full resumable training state (params + optimizer moments + scheduler
     + PRNG key + epoch). The reference has no resume at all (SURVEY §5:
     restart-from-scratch only); this enables checkpoint-every-k-epochs +
-    restart for long runs. Atomic write (tmp + rename)."""
+    restart for long runs. Atomic write (tmp + rename).
+
+    ``callback_key`` is the separate PRNG chain driving host-side epoch-end
+    callbacks (the outputscale renormalization probes of
+    ``manifold_informed_train`` with ``update_norm`` set); checkpointing it
+    makes resumed runs reproduce the uninterrupted trajectory exactly even
+    when the callback consumes randomness."""
     import pickle
 
     import jax
@@ -46,6 +54,7 @@ def save_training_state(path, params, opt_state, epoch: int, lr, sched_state, ke
         "lr": float(lr),
         "sched_state": jax.tree.map(np.asarray, sched_state),
         "key": np.asarray(key),
+        "callback_key": None if callback_key is None else np.asarray(callback_key),
     }
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:

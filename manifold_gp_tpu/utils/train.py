@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -80,6 +81,8 @@ def _train_loop(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
     resume: bool = True,
+    callback_key: Optional[list] = None,
+    debug: bool = False,
 ):
     """Chunked training driver.
 
@@ -89,6 +92,10 @@ def _train_loop(
     epochs where ``epoch % callback_period == 0`` (with the reference's
     post-increment epoch counter) — chunks are cut exactly at those
     boundaries.
+
+    ``callback_key``: optional single-element list holding the PRNG key the
+    ``on_epoch_end`` closure consumes; it is saved in (and restored from)
+    checkpoints so resumed runs replay the callback's randomness exactly.
     """
     # torch.optim.Adam semantics: L2 decay added to the gradient *before*
     # the Adam moments, then the lr scaling. lr is a traced scan-carry value
@@ -158,6 +165,8 @@ def _train_loop(
             params, opt_state = ckpt["params"], ckpt["opt_state"]
             epoch, cur_lr = ckpt["epoch"], jnp.float32(ckpt["lr"])
             sched_state, key = tuple(ckpt["sched_state"]), ckpt["key"]
+            if callback_key is not None and ckpt.get("callback_key") is not None:
+                callback_key[0] = ckpt["callback_key"]
             if verbose:
                 print(f"[resume] epoch {epoch} from {checkpoint_path}")
     next_ckpt = (
@@ -177,6 +186,17 @@ def _train_loop(
             params, opt_state, key, cur_lr, sched_state, length=length
         )
         outs = {k: list(map(float, v)) for k, v in outs.items()}
+        if debug:
+            # NaN guard (SURVEY §5): fail fast with the epoch index instead of
+            # silently training on poisoned params for the rest of the run.
+            from .debug import check_finite
+
+            for j, lv in enumerate(outs["loss"]):
+                if not np.isfinite(lv):
+                    raise FloatingPointError(
+                        f"non-finite training loss {lv} at epoch {epoch + j}"
+                    )
+            check_finite(params, name=f"params after epoch {epoch + length - 1}")
         for j in range(length):
             e = epoch + j
             history.append(outs["loss"][j])
@@ -197,14 +217,6 @@ def _train_loop(
                     msg.append(f"{label[name]}: {outs[name][j]:0.3f}")
                 print(",\t".join(msg))
         epoch += length
-        if next_ckpt is not None and epoch >= next_ckpt:
-            from .checkpoint import save_training_state
-
-            save_training_state(
-                checkpoint_path, params, opt_state, epoch, float(cur_lr),
-                sched_state, key,
-            )
-            next_ckpt = (epoch // checkpoint_every + 1) * checkpoint_every
         # Parity quirk: the reference's early stop compares against a 1e6
         # sentinel that is never updated (train_model.py:59,92-94), so it
         # effectively never fires and training runs all max_iter+1 epochs.
@@ -213,6 +225,18 @@ def _train_loop(
             stop = True
         elif on_epoch_end is not None and epoch < total and epoch % period == 0:
             params = on_epoch_end(epoch, params)
+        # Checkpoint AFTER the epoch-boundary callback so the saved params
+        # (and callback_key) already include its effect — a resumed run must
+        # not re-fire (or skip) the boundary callback.
+        if next_ckpt is not None and epoch >= next_ckpt:
+            from .checkpoint import save_training_state
+
+            save_training_state(
+                checkpoint_path, params, opt_state, epoch, float(cur_lr),
+                sched_state, key,
+                callback_key=None if callback_key is None else callback_key[0],
+            )
+            next_ckpt = (epoch // checkpoint_every + 1) * checkpoint_every
     return params, history[-1] if history else float("nan"), history
 
 
@@ -232,6 +256,7 @@ def manifold_informed_train(
     checkpoint_path=None,
     checkpoint_every=None,
     resume: bool = True,
+    debug: bool = False,
 ):
     """IMGP hyperparameter training (reference train_model.py:49-109).
 
@@ -240,13 +265,16 @@ def manifold_informed_train(
     where the last checkpoint left off). Returns (params, final_loss,
     history).
     """
-    key = jax.random.PRNGKey(seed + 7919)
+    # The callback PRNG chain lives in a 1-element holder so _train_loop can
+    # checkpoint/restore it (resume then replays renormalization probes
+    # exactly, update_norm runs included).
+    cb_key = [jax.random.PRNGKey(seed + 7919)]
 
     def avg_var(p, k):
         return model.average_variance(p, num_rand_vec=num_rand_vec, key=k)
 
     if model.use_outputscale:
-        key, sub = jax.random.split(key)
+        cb_key[0], sub = jax.random.split(cb_key[0])
         av = avg_var(params, sub)
         params = model.set_outputscale(params, model.outputscale(params) / av)
 
@@ -254,8 +282,7 @@ def manifold_informed_train(
         # Reached only at epoch % (update_norm + 1) == 0 boundaries (the
         # loop cuts scan chunks exactly there), mirroring reference
         # train_model.py:96-100.
-        nonlocal key
-        key, sub = jax.random.split(key)
+        cb_key[0], sub = jax.random.split(cb_key[0])
         if verbose:
             print("Update covariance normalization at epoch: ", epoch)
         return model.set_outputscale(p, 1.0 / avg_var(p, sub))
@@ -277,10 +304,12 @@ def manifold_informed_train(
         checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        callback_key=cb_key,
+        debug=debug,
     )
 
     if model.use_outputscale:
-        key, sub = jax.random.split(key)
+        cb_key[0], sub = jax.random.split(cb_key[0])
         av = avg_var(params, sub)
         params = model.set_outputscale(params, model.outputscale(params) * av)
     return params, loss_val, history
@@ -300,6 +329,7 @@ def vanilla_train(
     checkpoint_path=None,
     checkpoint_every=None,
     resume: bool = True,
+    debug: bool = False,
 ):
     """Standard exact-MLL training (reference train_model.py:10-46)."""
     params, loss_val, history = _train_loop(
@@ -317,5 +347,6 @@ def vanilla_train(
         checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        debug=debug,
     )
     return params, loss_val, history
