@@ -63,26 +63,29 @@ def bench_single_device(graph, eps, nu, ls, batch, cg_iters):
     import jax.numpy as jnp
 
     jax.config.update("jax_default_matmul_precision", "highest")
-    from manifold_gp_tpu.ops.block_sparse import build_block_layout, permute_in
     from manifold_gp_tpu.ops.cg import cg_raw
+    from manifold_gp_tpu.ops.dia import DiaLayout
     from manifold_gp_tpu.ops.laplacian import laplacian_coeffs
     from manifold_gp_tpu.ops.matern import make_matern_precision_matvec
+    from manifold_gp_tpu.ops.sparse_formats import build_layout, permute_in
 
     coeffs = laplacian_coeffs(graph, eps)
-    layout = build_block_layout(graph)
+    layout = build_layout(graph)
     pallas = layout is not None and jax.devices()[0].platform == "tpu"
     n = graph.num_nodes
-    print(
-        f"# single-device: N={n} layout="
-        + (
+    if layout is None:
+        desc = "ell-gather"
+    elif isinstance(layout, DiaLayout):
+        desc = (
+            f"dia(D={layout.num_offsets}, band="
+            f"{layout.num_padded * layout.num_offsets * 4 / 1e9:.3f} GB)"
+        )
+    else:
+        desc = (
             f"block(S={layout.max_blocks}, panel="
             f"{layout.num_padded * layout.max_blocks * 128 * 4 / 1e9:.2f} GB)"
-            if layout
-            else "ell-gather"
         )
-        + f" pallas={pallas}",
-        file=sys.stderr,
-    )
+    print(f"# single-device: N={n} layout={desc} pallas={pallas}", file=sys.stderr)
 
     # Every large array (graph, layout, coefficients) is a jit ARGUMENT, not
     # a closure constant — the tunneled backend ships program constants with

@@ -47,15 +47,31 @@ class InferenceConfig:
     # LOBPCG iteration cap for the large-N spectral-basis solver.
     eigensolver_max_iter: int = 200
     dense_operator_max_size: int = 4096
-    # Above dense_operator_max_size, try the RCM block-ELL MXU SpMV
-    # (ops.block_sparse); falls back to the ELL gather scan when the
+    # Above dense_operator_max_size, try a fused RCM-reordered SpMV layout
+    # (ops.sparse_formats); falls back to the ELL gather scan when the
     # reordered graph is not block-sparse enough.
     use_block_sparse: bool = True
+    # Prefer the DIA band format when the RCM reordering has at most
+    # dia_max_offsets distinct diagonals. DIA stores one float per
+    # (row, diagonal) vs 128-wide panel columns, but each diagonal costs an
+    # unaligned sublane-shifted VPU slice (a VMEM relayout), so wide bands
+    # lose to the MXU panel kernel despite streaming fewer HBM bytes.
+    # Measured on v5e @ 1M nodes, batch 128: D=23 -> DIA 109 applies/s vs
+    # block-streaming 104; D=61 -> DIA 52 vs block 104. Threshold set where
+    # DIA still wins.
+    use_dia: bool = True
+    dia_max_offsets: int = 24
     # Storage/matmul dtype for the block-sparse panel buffer: "float32"
     # (exact, 6-pass MXU emulation) or "bfloat16" (native MXU throughput,
     # f32 accumulation; ~1e-3 relative matvec error — safe at the
     # reference's 1e-2 CG tolerance, measured CG solution diff ~4e-4).
     spmv_dtype: str = "float32"
+    # Jacobi-precondition every CG solve (the Schur inner solve, engine
+    # solves, and the SLQ gradient solves) with the composed operator's
+    # (approximate) diagonal — the precision-form analogue of GPyTorch
+    # mBCG's default pivoted-Cholesky preconditioning. Never changes
+    # solutions, only iteration counts.
+    cg_precondition: bool = True
     # Block-SpMV kernel implementation: "pallas" (fused Mosaic kernel, VMEM
     # -resident operand, differentiable via ops.pallas_spmv.make_matvec_ad),
     # "einsum" (portable XLA path, identical numerics), or "auto" (pallas on

@@ -65,6 +65,7 @@ class RiemannKernel:
         graphbandwidth_prior=None,
         graphbandwidth_constraint=None,
         cfg: InferenceConfig = DEFAULT_CONFIG,
+        mesh=None,
     ):
         self.x = jnp.asarray(x, jnp.float32)
         self.knn = NearestNeighbors(self.x)
@@ -85,15 +86,20 @@ class RiemannKernel:
             ),
             ConstrainedParam("lengthscale", Positive()),
         ]
-        # Laplacian matvec execution path: dense MXU for small graphs, RCM
-        # block-ELL MXU tiles for large block-sparse-able graphs, ELL gather
-        # scan otherwise (see ops.block_sparse module docstring).
+        # Laplacian matvec execution path: dense MXU for small graphs; for
+        # large graphs an RCM-reordered fused layout — DIA bands when the
+        # reordering is banded enough, 128x128 block-ELL panels otherwise
+        # (see ops.sparse_formats) — falling back to the ELL gather scan.
         self.use_dense_operator = self.graph.num_nodes <= cfg.dense_operator_max_size
         self.block_layout = None
         if not self.use_dense_operator and cfg.use_block_sparse:
-            from ..ops.block_sparse import build_block_layout
+            from ..ops.sparse_formats import build_layout
 
-            self.block_layout = build_block_layout(self.graph)
+            self.block_layout = build_layout(
+                self.graph,
+                dia_max_offsets=cfg.dia_max_offsets,
+                use_dia=cfg.use_dia,
+            )
         # Resolve the SpMV kernel implementation once, at construction: the
         # fused Pallas kernel needs a real TPU backend (Mosaic); "auto" keeps
         # the portable einsum path on CPU meshes and in tests.
@@ -103,6 +109,21 @@ class RiemannKernel:
             self.use_pallas = _jax.devices()[0].platform == "tpu"
         else:
             self.use_pallas = cfg.spmv_kernel == "pallas"
+        # Multi-chip: row-shard the (static) ELL tables over the mesh once;
+        # precision_matvec then runs the shard_map SpMV (parallel/spmv.py)
+        # and the whole training loss lives in padded row-sharded space
+        # (models/riemann_gp.py handles the padded quad/SLQ/Schur forms).
+        self.mesh = mesh
+        self._sharded_tables = None
+        if mesh is not None:
+            from ..parallel.spmv import shard_graph_rows
+
+            self._sharded_tables = shard_graph_rows(self.graph, mesh)
+
+    @property
+    def n_padded(self) -> int:
+        """Padded node count of the row-sharded space (mesh kernels only)."""
+        return self._sharded_tables[3] if self.mesh is not None else self.graph.num_nodes
 
     # -- parameters --------------------------------------------------------
     def init_params(self, graphbandwidth=None, lengthscale=None) -> dict:
@@ -141,7 +162,7 @@ class RiemannKernel:
         if self.block_layout is not None:
             import jax.numpy as _jnp
 
-            from ..ops.block_sparse import assemble
+            from ..ops.sparse_formats import assemble
 
             dtype = (
                 _jnp.bfloat16 if self.cfg.spmv_dtype == "bfloat16" else None
@@ -265,7 +286,7 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
         # (relative to lambda_max) needs more matvec precision than bf16
         # offers, and the basis solve runs once per eval, not per CG step.
         if kernel.block_layout is not None:
-            from ..ops.block_sparse import assemble
+            from ..ops.sparse_formats import assemble
 
             block = (kernel.block_layout, assemble(kernel.block_layout, c.diag, c.triu))
         else:
@@ -303,13 +324,40 @@ class RiemannMaternKernel(RiemannKernel):
         ls2 = jnp.square(jnp.reshape(self.lengthscale(params), ()))
         return jnp.power(2.0 * self.nu / ls2 + eigval, -float(self.nu))
 
+    def precision_diag(self, params, coeffs=None):
+        """(Approximate) diag(Q) for Jacobi PCG (ops.matern.matern_precision_diag)."""
+        from ..ops.matern import matern_precision_diag
+
+        c = self.coeffs(params) if coeffs is None else coeffs
+        return matern_precision_diag(
+            self.graph, c, self.nu, self.lengthscale(params),
+            self.laplacian_normalization,
+        )
+
     def precision_matvec(self, params, coeffs=None, permuted_io: bool = False):
         """Matvec closure for Q = (2 nu / l^2 I + L)^nu.
 
         With ``permuted_io=True`` (block path only) the closure works on
         padded-RCM-space vectors so compositions/solves built on top do no
-        per-matvec permutation gathers."""
+        per-matvec permutation gathers.
+
+        On a mesh kernel the closure is the row-sharded shard_map SpMV over
+        padded vectors [n_padded, B] (zero padding rows; node order
+        unchanged)."""
         c = self.coeffs(params) if coeffs is None else coeffs
+        if self.mesh is not None:
+            from ..parallel.spmv import make_sharded_matern_precision_matvec
+
+            mv, _ = make_sharded_matern_precision_matvec(
+                self.graph,
+                self.mesh,
+                c,
+                self.nu,
+                self.lengthscale(params),
+                self.laplacian_normalization,
+                tables=self._sharded_tables,
+            )
+            return mv
         # Do NOT go through _operator_state here: the fused Matérn block path
         # reassembles *shifted* panels itself, so assembling an unshifted
         # panel buffer first would materialize a second GB-scale buffer per

@@ -39,9 +39,11 @@ from ..ops.bump import bump_function
 from ..ops.knn import knn_search
 from ..ops.matern import (
     labeled_split,
+    make_jacobi_precond,
     make_noisy_matvec,
     make_scaled_matvec,
     make_schur_matvec,
+    noisy_scaled_diag,
 )
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -87,6 +89,31 @@ class RiemannGP:
         self.train_is_graph = self.train_x.shape == kernel.x.shape and bool(
             np.array_equal(np.asarray(self.train_x), np.asarray(kernel.x))
         )
+        # Mesh kernels: the training loss runs in the padded row-sharded
+        # space (kernel.n_padded rows, zero padding). Precompute the static
+        # embeddings: y at its support rows, 0/1 labeled/unlabeled masks.
+        self.mesh = getattr(kernel, "mesh", None)
+        if self.mesh is not None:
+            npad = kernel.n_padded
+            n_nodes = kernel.graph.num_nodes
+            support = (
+                np.flatnonzero(self.labeled)
+                if self.labeled is not None
+                else np.arange(n_nodes)
+            )
+            self._support_pad = jnp.asarray(support, jnp.int32)
+            y_pad = np.zeros(npad, np.float32)
+            y_pad[support] = np.asarray(self.train_y)
+            mask_l = np.zeros(npad, np.float32)
+            mask_l[support] = 1.0
+            mask_u = np.zeros(npad, np.float32)
+            if self.labeled is not None:
+                mask_u[np.flatnonzero(~self.labeled)] = 1.0
+            from ..parallel.spmv import pad_nodes
+
+            self._y_pad = pad_nodes(y_pad, npad, self.mesh)
+            self._mask_l = pad_nodes(mask_l, npad, self.mesh)
+            self._mask_u = pad_nodes(mask_u, npad, self.mesh)
 
     # -- parameters --------------------------------------------------------
     def init_params(
@@ -132,6 +159,8 @@ class RiemannGP:
         with the permutation, so one permute_in/out pair at the boundary
         replaces per-Laplacian-matvec row gathers (a noisy nu=2 apply does
         6 of them)."""
+        if self.mesh is not None:
+            return self._precision_matvec_sharded(params, noise=noise, coeffs=coeffs)
         permuted = self.labeled is None and self.kernel.block_layout is not None
         mv = self.kernel.precision_matvec(params, coeffs=coeffs, permuted_io=permuted)
         if self.labeled is not None:
@@ -142,13 +171,18 @@ class RiemannGP:
                 self.kernel.graph.num_nodes,
                 cg_tol=self.cfg.cg_tolerance,
                 cg_max_iter=self.cfg.cg_max_iter,
+                precond_diag=(
+                    self.kernel.precision_diag(params, coeffs=coeffs)
+                    if self.cfg.cg_precondition
+                    else None
+                ),
             )
         if self.use_outputscale:
             mv = make_scaled_matvec(mv, self.outputscale(params))
         if noise:
             mv = make_noisy_matvec(mv, self.noise(params))
         if permuted:
-            from ..ops.block_sparse import permute_in, permute_out
+            from ..ops.sparse_formats import permute_in, permute_out
 
             layout = self.kernel.block_layout
             inner = mv
@@ -161,18 +195,126 @@ class RiemannGP:
 
         return mv
 
+    def _precision_matvec_sharded(self, params, noise: bool = True, coeffs=None):
+        """Row-sharded composition over padded [Np, B] vectors: the kernel's
+        shard_map Matérn matvec -> masked Schur (semisup) -> Scale -> Noise.
+        The scalar wrappers are elementwise so the whole stack stays sharded;
+        the result equals the single-device ``precision_matvec`` embedded at
+        the support rows."""
+        from ..ops.matern import make_schur_matvec_masked
+
+        mv = self.kernel.precision_matvec(params, coeffs=coeffs)
+        if self.labeled is not None:
+            pd = None
+            if self.cfg.cg_precondition:
+                pd = self._padded_precision_diag(params, coeffs=coeffs)
+            mv = make_schur_matvec_masked(
+                mv,
+                self._mask_l,
+                self._mask_u,
+                cg_tol=self.cfg.cg_tolerance,
+                cg_max_iter=self.cfg.cg_max_iter,
+                precond_diag=pd,
+            )
+        if self.use_outputscale:
+            mv = make_scaled_matvec(mv, self.outputscale(params))
+        if noise:
+            mv = make_noisy_matvec(mv, self.noise(params))
+        return mv
+
+    def _padded_precision_diag(self, params, coeffs=None):
+        """diag(Q) embedded in the padded row-sharded space (1.0 padding so
+        Jacobi division is a no-op off the true rows)."""
+        d = self.kernel.precision_diag(params, coeffs=coeffs)
+        pad = self.kernel.n_padded - d.shape[0]
+        return jnp.pad(d, (0, pad), constant_values=1.0)
+
+    def _mll_loss_sharded(self, params, key=None):
+        """Precision-form MLL on the row-sharded mesh path. Identical math to
+        ``mll_loss`` (same probes for the same key), evaluated on padded
+        vectors: quad via the embedded y, logdet via dense Cholesky of the
+        support block (small n) or SLQ with support-embedded probes and the
+        true trace dimension (ops/slq.py num_nodes)."""
+        from ..ops.matern import make_jacobi_precond, noisy_scaled_diag
+        from ..ops.slq import rademacher_probes, slq_logdet
+
+        n = self.num_data
+        cfg = self.cfg
+        mv = self._precision_matvec_sharded(params, noise=True)
+        y_pad = self._y_pad
+        quad = jnp.sum(y_pad * mv(y_pad[:, None])[:, 0])
+        support = self._support_pad
+        if n <= cfg.max_cholesky:
+            npad = self.kernel.n_padded
+            eye_emb = (
+                jnp.zeros((npad, n), jnp.float32)
+                .at[support, jnp.arange(n)]
+                .set(1.0)
+            )
+            dense = mv(eye_emb)[support]
+            ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(dense))))
+        else:
+            assert key is not None, "stochastic logdet needs a PRNG key"
+            z = rademacher_probes(key, n, cfg.num_probes)
+            npad = self.kernel.n_padded
+            probes = jnp.zeros((npad, cfg.num_probes), jnp.float32).at[support].set(z)
+            precond = None
+            if cfg.cg_precondition:
+                d = self._padded_precision_diag(params)
+                d = noisy_scaled_diag(
+                    d,
+                    scale=self.outputscale(params) if self.use_outputscale else None,
+                    noise=self.noise(params),
+                )
+                precond = make_jacobi_precond(d)
+            ld = slq_logdet(
+                mv,
+                probes,
+                num_steps=cfg.lanczos_max_iter,
+                cg_tol=cfg.cg_tolerance,
+                cg_max_iter=cfg.cg_max_iter,
+                precond=precond,
+                num_nodes=n,
+            )
+        loss = 0.5 * (quad - ld + n * jnp.log(2.0 * jnp.pi))
+        for _, prior, value_fn in self.kernel.priors():
+            loss = loss - jnp.sum(prior.log_prob(value_fn(params)))
+        return loss / n
+
+    def precision_precond(self, params, noise: bool = True, coeffs=None):
+        """Jacobi M^{-1} for the composed precision operator: diag(Q) pushed
+        through the Scale/Noise wrappers ((approximate) Schur: labeled-block
+        restriction). None when cfg.cg_precondition is off."""
+        if not self.cfg.cg_precondition:
+            return None
+        d = self.kernel.precision_diag(params, coeffs=coeffs)
+        if self.labeled is not None:
+            d = d[jnp.asarray(self._labeled_idx)]
+        d = noisy_scaled_diag(
+            d,
+            scale=self.outputscale(params) if self.use_outputscale else None,
+            noise=self.noise(params) if noise else None,
+        )
+        return make_jacobi_precond(d)
+
     # -- training loss -----------------------------------------------------
     def mll_loss(self, params, key=None):
         """Precision-form negative log marginal likelihood
         (reference ``utils/train_model.py:66-76``):
             0.5 [ y' Q y - logdet Q + n log 2pi ] - sum log p(priors), all / n.
-        Exact (dense Cholesky) when n <= cfg.max_cholesky, else SLQ.
+        Exact (dense Cholesky) when n <= cfg.max_cholesky, else SLQ (with
+        Jacobi-preconditioned gradient solves when cfg.cg_precondition).
         """
+        if self.mesh is not None:
+            return self._mll_loss_sharded(params, key=key)
         n = self.num_data
         y = self.train_y
         mv = self.precision_matvec(params, noise=True)
         quad = jnp.dot(y, mv(y[:, None])[:, 0], precision=_HIGHEST)
-        ld = engine.logdet(mv, n, self.cfg, key=key)
+        ld = engine.logdet(
+            mv, n, self.cfg, key=key,
+            precond=self.precision_precond(params, noise=True),
+        )
         loss = 0.5 * (quad - ld + n * jnp.log(2.0 * jnp.pi))
         for _, prior, value_fn in self.kernel.priors():
             loss = loss - jnp.sum(prior.log_prob(value_fn(params)))
@@ -183,11 +325,55 @@ class RiemannGP:
         (reference ``train_model.py:53-55``: uses base_kernel.precision())."""
         mv = self.kernel.precision_matvec(params)
         nn = self.kernel.graph.num_nodes
-        return engine.average_variance(mv, nn, num_rand_vec, self.cfg, key=key)
+        if self.mesh is not None:
+            from ..ops.cg import cg_solve
+
+            cfg = self.cfg
+            npad = self.kernel.n_padded
+            if num_rand_vec >= nn:
+                idx, denom = jnp.arange(nn), nn
+            else:
+                assert key is not None
+                idx = jax.random.randint(key, (num_rand_vec,), 0, nn)
+                denom = num_rand_vec
+            rhs = (
+                jnp.zeros((npad, idx.shape[0]), jnp.float32)
+                .at[idx, jnp.arange(idx.shape[0])]
+                .set(1.0)
+            )
+            precond = (
+                make_jacobi_precond(self._padded_precision_diag(params))
+                if cfg.cg_precondition
+                else None
+            )
+            x = cg_solve(
+                mv, rhs, tol=cfg.cg_tolerance, max_iter=cfg.cg_max_iter,
+                precond=precond,
+            )
+            return jnp.sum(rhs * x) / denom
+        precond = (
+            make_jacobi_precond(self.kernel.precision_diag(params))
+            if self.cfg.cg_precondition
+            else None
+        )
+        return engine.average_variance(
+            mv, nn, num_rand_vec, self.cfg, key=key, precond=precond
+        )
 
     # -- prediction --------------------------------------------------------
-    def eval(self, params):
-        """Precompute the spectral basis + feature-space posterior cache."""
+    def eval(self, params, love_rank: Optional[int] = None):
+        """Precompute the spectral basis + feature-space posterior cache.
+
+        ``love_rank``: opt-in LOVE-mode predictive variances — the analogue
+        of GPyTorch ``fast_pred_var`` (reference eval context,
+        ``utils/test_model.py:11``): a rank-r Lanczos root-inverse of the
+        train covariance K = s Z Z' + sigma^2 I replaces the exact Woodbury
+        cache in the predictive *covariance* (the predictive mean stays
+        exact, as in GPyTorch, whose mean cache is a CG solve). With
+        love_rank >= n_train the Krylov space is exhausted and LOVE
+        reproduces the exact variances; smaller ranks reproduce LOVE's
+        approximation error.
+        """
         basis = self.kernel.eval_basis(params)
         if self.train_is_graph:
             z = self.kernel.features_train(params, basis)
@@ -204,6 +390,30 @@ class RiemannGP:
         u = jnp.matmul(z.T, resid[:, None], precision=_HIGHEST)
         w = jax.scipy.linalg.cho_solve((chol_c, True), u)[:, 0]
         self._cache = dict(basis=basis, chol_c=chol_c, w=w, s=s, sigma2=sigma2, mu=mu)
+        if love_rank is not None:
+            from ..ops.eigen import lanczos_eigh
+
+            n_tr = z.shape[0]
+            rank = int(min(love_rank, n_tr))
+
+            def khat_mv(v):
+                vv = v[:, None] if v.ndim == 1 else v
+                out = s * jnp.matmul(
+                    z, jnp.matmul(z.T, vv, precision=_HIGHEST), precision=_HIGHEST
+                ) + sigma2 * vv
+                return out[:, 0] if v.ndim == 1 else out
+
+            v0 = jax.random.normal(jax.random.PRNGKey(0), (n_tr,), jnp.float32)
+            lam, vecs = lanczos_eigh(khat_mv, v0, rank, rank)
+            # Lanczos breaks down once the Krylov space is exhausted (K has
+            # rank num_modes + noise); spurious post-breakdown Ritz pairs
+            # come back as +inf values with NaN vectors — drop them by
+            # zero-weighting (the exactness argument needs only that the
+            # Krylov space contains col-span(Z), which it does at breakdown).
+            finite = jnp.isfinite(lam)
+            inv_lam = jnp.where(finite, 1.0 / jnp.where(finite, lam, 1.0), 0.0)
+            vecs = jnp.where(finite[None, :], jnp.nan_to_num(vecs), 0.0)
+            self._cache["love"] = (inv_lam, vecs, z)
         return self
 
     def modulation(self, params, x):
@@ -230,8 +440,21 @@ class RiemannGP:
         cache = self._cache
         zs = self.kernel.features(params, cache["basis"], x, is_train=is_train)
         mean = cache["mu"] + jnp.matmul(zs, cache["w"][:, None], precision=_HIGHEST)[:, 0]
-        half = jax.scipy.linalg.solve_triangular(cache["chol_c"], zs.T, lower=True)
-        covar = cache["sigma2"] * jnp.matmul(half.T, half, precision=_HIGHEST)
+        if "love" in cache:
+            # LOVE covariance: K** - K*t (V diag(1/lam) V') Kt* with the
+            # rank-r Lanczos Ritz pairs of the train covariance (eval()).
+            inv_lam, vecs, z_tr = cache["love"]
+            s = cache["s"]
+            k_star_t = s * jnp.matmul(zs, z_tr.T, precision=_HIGHEST)
+            wv = jnp.matmul(k_star_t, vecs, precision=_HIGHEST)
+            covar = s * jnp.matmul(zs, zs.T, precision=_HIGHEST) - jnp.matmul(
+                wv * inv_lam[None, :], wv.T, precision=_HIGHEST
+            )
+        else:
+            half = jax.scipy.linalg.solve_triangular(
+                cache["chol_c"], zs.T, lower=True
+            )
+            covar = cache["sigma2"] * jnp.matmul(half.T, half, precision=_HIGHEST)
         if noisy_posterior:
             covar = covar + cache["sigma2"] * jnp.eye(covar.shape[0], dtype=covar.dtype)
         var = jnp.maximum(jnp.diagonal(covar), 0.0)

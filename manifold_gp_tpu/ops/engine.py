@@ -35,9 +35,11 @@ def logdet(
     cfg: InferenceConfig,
     key: Optional[jax.Array] = None,
     dense: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable] = None,
 ):
     """log det of the SPD operator. Exact (Cholesky) when n <= max_cholesky
-    or a densified matrix is supplied; SLQ otherwise (requires ``key``)."""
+    or a densified matrix is supplied; SLQ otherwise (requires ``key``).
+    ``precond`` (M^{-1} matvec) accelerates the SLQ gradient's CG solves."""
     if dense is None and n <= cfg.max_cholesky:
         dense = densify(matvec, n)
     if dense is not None:
@@ -53,6 +55,7 @@ def logdet(
         num_steps=cfg.lanczos_max_iter,
         cg_tol=cfg.cg_tolerance,
         cg_max_iter=cfg.cg_max_iter,
+        precond=precond,
     )
 
 
@@ -62,6 +65,7 @@ def solve(
     n: int,
     cfg: InferenceConfig,
     dense: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable] = None,
 ):
     """A^{-1} b, differentiable in both regimes (Cholesky AD / implicit CG)."""
     if dense is None and n <= cfg.max_cholesky:
@@ -72,7 +76,10 @@ def solve(
         bb = b[:, None] if squeeze else b
         x = jax.scipy.linalg.cho_solve((chol, True), bb)
         return x[:, 0] if squeeze else x
-    return cg_solve(matvec, b, tol=cfg.cg_tolerance, max_iter=cfg.cg_max_iter)
+    return cg_solve(
+        matvec, b, tol=cfg.cg_tolerance, max_iter=cfg.cg_max_iter,
+        precond=precond,
+    )
 
 
 def inv_quad(
@@ -81,9 +88,10 @@ def inv_quad(
     n: int,
     cfg: InferenceConfig,
     dense: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable] = None,
 ):
     """sum_i rhs_i' A^{-1} rhs_i (the GPyTorch inv_quad term)."""
-    x = solve(matvec, rhs, n, cfg, dense=dense)
+    x = solve(matvec, rhs, n, cfg, dense=dense, precond=precond)
     return jnp.sum(rhs * x)
 
 
@@ -93,6 +101,7 @@ def average_variance(
     num_rand_vec: int,
     cfg: InferenceConfig,
     key: Optional[jax.Array] = None,
+    precond: Optional[Callable] = None,
 ):
     """Mean diagonal of A^{-1}, estimated with random one-hot probes.
 
@@ -113,4 +122,4 @@ def average_variance(
         rhs = jnp.zeros((n, num_rand_vec), jnp.float32).at[idx, jnp.arange(num_rand_vec)].set(1.0)
         rhs = constrain_probes(rhs)
         denom = num_rand_vec
-    return inv_quad(matvec, rhs, n, cfg) / denom
+    return inv_quad(matvec, rhs, n, cfg, precond=precond) / denom

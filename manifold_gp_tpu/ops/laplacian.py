@@ -186,27 +186,26 @@ def laplacian_matvec(
         vec = v
     if permuted_io:
         if pallas:
-            from .pallas_spmv import make_matvec_ad
+            from .sparse_formats import make_matvec_ad
 
             out = make_matvec_ad(block[0])(block[1], vec)
         else:
-            from .block_sparse import matvec_permuted
+            from .sparse_formats import matvec_permuted
 
             out = matvec_permuted(block[0], block[1], vec)
     elif dense is not None:
         out = jnp.matmul(dense, vec, precision=_HIGHEST)
     elif block is not None:
         if pallas:
-            from .block_sparse import permute_in, permute_out
-            from .pallas_spmv import make_matvec_ad
+            from .sparse_formats import make_matvec_ad, permute_in, permute_out
 
             out = permute_out(
                 block[0], make_matvec_ad(block[0])(block[1], permute_in(block[0], vec))
             )
         else:
-            from .block_sparse import matvec as block_matvec
+            from .sparse_formats import matvec as fused_matvec
 
-            out = block_matvec(block[0], block[1], vec)
+            out = fused_matvec(block[0], block[1], vec)
     else:
         out = coeffs.diag[:, None] * vec - adjacency_matvec_ell(graph, coeffs.triu, vec)
     if normalization == "randomwalk":

@@ -66,7 +66,9 @@ def make_matern_precision_matvec(
         # into the panel diagonal once per step turns every Q matvec into nu
         # bare block matvecs with two boundary row-scalings — no per-matvec
         # affine or D^{+-1/2} conjugation passes over [N, B] in the hot loop.
-        from .block_sparse import assemble, matvec_permuted, permute_in, permute_out
+        # ``block`` may carry either sparse layout (block-ELL panels or DIA
+        # bands); sparse_formats dispatches on the layout type.
+        from .sparse_formats import assemble, matvec_permuted, permute_in, permute_out
 
         layout, blocks = block
         # Assemble the shifted panels directly from (diag + 1/a, triu): one
@@ -89,7 +91,7 @@ def make_matern_precision_matvec(
         )
         dsq_p = jnp.sqrt(deg_full if permuted_io else deg_full[layout.perm])
         if pallas:
-            from .pallas_spmv import make_matvec_ad
+            from .sparse_formats import make_matvec_ad
 
             mv_fn = make_matvec_ad(layout)
         else:
@@ -133,6 +135,71 @@ def make_matern_precision_matvec(
     return matvec
 
 
+def matern_precision_diag(
+    graph: SparseGraph,
+    coeffs: LaplacianCoeffs,
+    nu: int,
+    lengthscale,
+    normalization: str = "randomwalk",
+) -> jnp.ndarray:
+    """(Approximate) diagonal of Q = (2 nu/l^2 I + L)^nu for Jacobi PCG.
+
+    With A = shift*I + L_sym the diagonals are
+      nu=1: diag(A)            (exact)
+      nu=2: diag(A^2) = diag(A)^2 + rowsum(offdiag^2)   (exact)
+      nu>2: diag(A^2)^{nu/2}   (positive surrogate; a preconditioner only
+            needs a spectrally-reasonable SPD scaling, not exactness)
+    and the randomwalk symmetrization multiplies by the degree
+    (Q_rw = D^{1/2} A^nu D^{1/2} has diag = deg * diag(A^nu)).
+
+    GPyTorch's mBCG preconditions every solve by default (pivoted Cholesky
+    of the *covariance*, ``utils/train_model.py:68`` context); in precision
+    form the operator diagonal is directly computable, so Jacobi is the
+    natural equivalent.
+    """
+    shift = 2.0 * nu / jnp.square(jnp.reshape(lengthscale, ()))
+    diag_a = coeffs.diag + shift
+    if nu == 1:
+        d = diag_a
+    else:
+        off2 = (
+            jnp.zeros_like(coeffs.diag)
+            .at[graph.rows]
+            .add(jnp.square(coeffs.triu))
+            .at[graph.cols]
+            .add(jnp.square(coeffs.triu))
+        )
+        diag_a2 = jnp.square(diag_a) + off2
+        d = diag_a2 if nu == 2 else jnp.power(diag_a2, 0.5 * nu)
+    if normalization == "randomwalk":
+        d = d * coeffs.deg
+    return d
+
+
+def noisy_scaled_diag(diag_q: jnp.ndarray, scale=None, noise=None) -> jnp.ndarray:
+    """Push a Q-diagonal estimate through the Scale and truncated-Neumann
+    Noise wrappers (diagonal part only): q -> s*q -> q(1 - s2 q (1 - s2 q)).
+    Clamped away from zero so the Jacobi preconditioner stays SPD even where
+    the Neumann truncation would cross zero."""
+    d = diag_q
+    if scale is not None:
+        d = d * jnp.reshape(scale, ())
+    if noise is not None:
+        s2 = jnp.reshape(noise, ())
+        d = d * (1.0 - s2 * d * (1.0 - s2 * d))
+    return jnp.maximum(d, 1e-12 * jnp.max(jnp.abs(diag_q)))
+
+
+def make_jacobi_precond(diag: jnp.ndarray) -> Callable:
+    """M^{-1} v = v / diag, broadcasting over the RHS batch."""
+
+    def apply(v):
+        d = diag if v.ndim == 1 else diag[:, None]
+        return v / d
+
+    return apply
+
+
 def make_scaled_matvec(matvec: Callable, scale, inverse_scale: bool = False) -> Callable:
     s = jnp.reshape(scale, ())
     if inverse_scale:
@@ -157,13 +224,19 @@ def make_schur_matvec(
     n: int,
     cg_tol: float = 1e-2,
     cg_max_iter: int = 1000,
+    precond_diag: Optional[jnp.ndarray] = None,
 ) -> Callable:
     """Effective labeled-block precision via an inner CG on the unlabeled
-    block. ``labeled_idx`` / ``unlabeled_idx`` are static index arrays."""
+    block. ``labeled_idx`` / ``unlabeled_idx`` are static index arrays.
+    ``precond_diag``: optional [n] diagonal of the base operator — the inner
+    CG then runs Jacobi-preconditioned on its unlabeled restriction."""
     from .cg import cg_solve
 
     labeled_idx = jnp.asarray(np.asarray(labeled_idx, np.int32))
     unlabeled_idx = jnp.asarray(np.asarray(unlabeled_idx, np.int32))
+    inner_precond = None
+    if precond_diag is not None:
+        inner_precond = make_jacobi_precond(precond_diag[unlabeled_idx])
 
     def mv(v):
         squeeze = v.ndim == 1
@@ -176,9 +249,62 @@ def make_schur_matvec(
             fu = jnp.zeros((n, u.shape[1]), u.dtype).at[unlabeled_idx].set(u)
             return base_matvec(fu)[unlabeled_idx]
 
-        sol = cg_solve(inner, t[unlabeled_idx], tol=cg_tol, max_iter=cg_max_iter)
+        sol = cg_solve(
+            inner, t[unlabeled_idx], tol=cg_tol, max_iter=cg_max_iter,
+            precond=inner_precond,
+        )
         fs = jnp.zeros((n, b), vv.dtype).at[unlabeled_idx].set(sol)
         out = t[labeled_idx] - base_matvec(fs)[labeled_idx]
+        return out[:, 0] if squeeze else out
+
+    return mv
+
+
+def make_schur_matvec_masked(
+    base_matvec: Callable,
+    mask_labeled: jnp.ndarray,
+    mask_unlabeled: jnp.ndarray,
+    cg_tol: float = 1e-2,
+    cg_max_iter: int = 1000,
+    precond_diag: Optional[jnp.ndarray] = None,
+) -> Callable:
+    """Full-space masked Schur complement — the shard-friendly formulation.
+
+    Operates on full-length vectors supported on the labeled rows (instead of
+    compacted [n_labeled] vectors): with M_l / M_u the 0/1 row masks,
+
+        S v = M_l (Q v - Q M_u sol),   (M_u Q M_u + (I - M_u)) sol = M_u Q v
+
+    which equals the labeled-block Schur complement Q_ll - Q_lu Q_uu^{-1}
+    Q_ul embedded at the labeled rows (the identity on the complement keeps
+    the inner operator SPD and the solution supported on the unlabeled
+    rows). No index gathers/scatters — every op is an elementwise mask, so
+    under a row-sharded mesh the whole nested-CG composition stays sharded
+    (index-compacted embeddings would force GSPMD all-to-alls). Semantics
+    match ``make_schur_matvec`` / reference
+    ``operators/schur_complement_operator.py:27-30``.
+    """
+    from .cg import cg_solve
+
+    ml = mask_labeled[:, None]
+    mu = mask_unlabeled[:, None]
+    inner_precond = None
+    if precond_diag is not None:
+        d = jnp.where(mask_unlabeled > 0, precond_diag, 1.0)
+        inner_precond = make_jacobi_precond(d)
+
+    def inner(u):
+        return mu * base_matvec(mu * u) + (1.0 - mu) * u
+
+    def mv(v):
+        squeeze = v.ndim == 1
+        vv = v[:, None] if squeeze else v
+        t = base_matvec(ml * vv)
+        sol = cg_solve(
+            inner, mu * t, tol=cg_tol, max_iter=cg_max_iter,
+            precond=inner_precond,
+        )
+        out = ml * (t - base_matvec(mu * sol))
         return out[:, 0] if squeeze else out
 
     return mv

@@ -17,13 +17,18 @@ bf16 throughput (single-pass instead of 6-pass f32 emulation) — acceptable
 for CG at the reference's 1e-2 relative tolerance, gated behind
 ``InferenceConfig`` rather than default.
 
-NOTE: the bare ``block_matvec_pallas`` defines no autodiff rules; training
-uses ``make_matvec_ad``, which wraps it in a custom VJP (symmetric operator:
-bar_pv is one more fused matvec; bar_blocks is a per-row-block outer-product
-einsum) so the training hot loop (laplacian_matvec / matern precision with
-pallas=True) runs the fused kernel too. When the [Np, B] operand exceeds the
-VMEM-residency budget, ``make_matvec_ad`` falls back to the einsum path
-(same numerics, operand streamed through HBM by XLA).
+Two kernels share the panel format:
+  * ``block_matvec_pallas`` — operand VMEM-resident (fastest; small/medium N);
+  * ``block_matvec_pallas_streaming`` — operand HBM-resident, each row block's
+    S operand slices DMA'd into a double-buffered VMEM stage (large N, e.g.
+    the 1M-node BASELINE config where [Np, B] is hundreds of MB).
+
+NOTE: the bare kernels define no autodiff rules; training uses
+``make_matvec_ad``, which picks the kernel by operand size at trace time and
+wraps it in a custom VJP (symmetric operator: bar_pv is one more fused
+matvec; bar_blocks is a per-row-block outer-product einsum) so the training
+hot loop (laplacian_matvec / matern precision with pallas=True) runs a fused
+kernel at every scale.
 """
 
 from __future__ import annotations
@@ -108,15 +113,120 @@ def block_matvec_pallas(
 
 
 # The fused kernel keeps the whole [Np, B] operand VMEM-resident; beyond
-# this budget (VMEM is ~16 MB less panel/accumulator slices) callers fall
-# back to the einsum path, which streams the gathered operand through HBM.
+# this budget (VMEM is ~16 MB less panel/accumulator slices) callers switch
+# to the streaming kernel below, which keeps the operand in HBM and
+# double-buffers per-row-block DMA of the needed column slices.
 _OPERAND_VMEM_BUDGET = 8 * 2**20
+
+
+def _kernel_stream(
+    s_max: int, nrb: int, bc_ref, blocks_ref, pv_ref, out_ref, stage_ref, sem_ref
+):
+    """Streaming variant: the [Np, B] operand stays in HBM; each row block
+    DMAs its S needed [BLOCK, B] operand slices into a double-buffered VMEM
+    stage, prefetching row block i+1's slices while computing block i. The
+    panel stream ([BLOCK, S*BLOCK] per block) rides the ordinary Pallas
+    pipeline, so both HBM streams overlap the MXU work."""
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+
+    def dma(row_block, slot, s):
+        # bc_ref is the block_col table flattened to 1D: 2D SMEM operands are
+        # lane-padded to 128 columns, which at 1M nodes (nrb ~ 8k) would blow
+        # the 1 MB SMEM budget ~43x; flat scalars are stored unpadded.
+        col = bc_ref[row_block * s_max + s]
+        return pltpu.make_async_copy(
+            pv_ref.at[pl.ds(col * BLOCK, BLOCK), :],
+            stage_ref.at[slot, pl.ds(s * BLOCK, BLOCK), :],
+            sem_ref.at[slot, s],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(s_max):
+            dma(0, 0, s).start()
+
+    @pl.when(i + 1 < nrb)
+    def _():
+        for s in range(s_max):
+            dma(i + 1, next_slot, s).start()
+
+    for s in range(s_max):
+        dma(i, slot, s).wait()
+
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if blocks_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    out_ref[:] = jnp.dot(
+        blocks_ref[0],
+        stage_ref[slot].astype(blocks_ref.dtype),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_matvec_pallas_streaming(
+    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False
+):
+    """L_sym @ pv in permuted space with an HBM-resident operand.
+
+    Same contract as ``block_matvec_pallas`` but without the VMEM-residency
+    limit on pv: built for the large-N regime (BASELINE config 5, 1M nodes)
+    where [Np, B] is hundreds of MB. HBM traffic per call is
+    ``blocks.nbytes + nrb*S*BLOCK*B*4 (operand slices) + out.nbytes`` — the
+    einsum path additionally writes AND re-reads the gathered operand."""
+    nrb, s_max = layout.num_row_blocks, layout.max_blocks
+    batch = pv.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # block_col index table
+        grid=(nrb,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, BLOCK, s_max * BLOCK),
+                lambda i, bc: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # operand stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK, batch), lambda i, bc: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, s_max * BLOCK, batch), pv.dtype),
+            pltpu.SemaphoreType.DMA((2, s_max)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_stream, s_max, nrb),
+        out_shape=jax.ShapeDtypeStruct((layout.num_padded, batch), pv.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: cross-step DMA
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nrb * s_max * BLOCK * BLOCK * batch,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + (nrb * s_max * BLOCK + layout.num_padded) * batch * pv.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(layout.block_col.reshape(-1), blocks, pv)
 
 
 def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     """Differentiable Pallas block matvec: (blocks, pv) -> L @ pv in permuted
     space, with a custom VJP so the *training* hot loop can run the fused
     kernel too (the bare kernel defines no transpose/JVP rules).
+
+    Kernel selection is at trace time on static shapes: operands that fit the
+    VMEM-residency budget use ``block_matvec_pallas`` (whole [Np, B] operand
+    pinned in VMEM); larger operands use ``block_matvec_pallas_streaming``
+    (operand in HBM, double-buffered per-row-block slice DMA) — the large-N
+    regime where round 1 silently fell back to the einsum path.
 
     VJP derivation for out = M(blocks) @ pv:
       * bar_pv = M^T g = M g — valid because ``assemble`` always scatters both
@@ -128,9 +238,22 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
         materialization, paid only inside solve/logdet VJPs, once per solve).
     """
 
+    def run_kernel(blocks, pv):
+        if pv.shape[0] * pv.shape[1] * pv.dtype.itemsize <= _OPERAND_VMEM_BUDGET:
+            return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
+        if pv.shape[1] % BLOCK == 0:
+            return block_matvec_pallas_streaming(layout, blocks, pv, interpret=interpret)
+        # Mosaic DMA slices need a 128-multiple lane (batch) dim; large
+        # operands with odd batch widths keep the einsum path (same numerics,
+        # operand gathered through HBM by XLA). Solvers that expect to hit
+        # the streaming regime should batch RHS in multiples of 128.
+        from .block_sparse import matvec_permuted
+
+        return matvec_permuted(layout, blocks, pv)
+
     @jax.custom_vjp
     def mv_pallas(blocks, pv):
-        return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
+        return run_kernel(blocks, pv)
 
     def fwd(blocks, pv):
         return mv_pallas(blocks, pv), (blocks, pv)
@@ -138,7 +261,7 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     def bwd(res, g):
         blocks, pv = res
         g = g.astype(pv.dtype)
-        bar_pv = block_matvec_pallas(layout, blocks, g, interpret=interpret)
+        bar_pv = run_kernel(blocks, g)
         grouped = pv.reshape(layout.num_row_blocks, BLOCK, -1)
         cb = grouped[layout.block_col].reshape(
             layout.num_row_blocks, layout.max_blocks * BLOCK, -1
@@ -159,16 +282,7 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
 
     mv_pallas.defvjp(fwd, bwd)
 
-    def mv(blocks, pv):
-        # Trace-time dispatch: operands too large for VMEM residency take the
-        # einsum path (differentiable through XLA as usual).
-        from .block_sparse import matvec_permuted
-
-        if layout.num_padded * pv.shape[1] * pv.dtype.itemsize > _OPERAND_VMEM_BUDGET:
-            return matvec_permuted(layout, blocks, pv)
-        return mv_pallas(blocks, pv)
-
-    return mv
+    return mv_pallas
 
 
 def matvec(layout: BlockLayout, blocks: jnp.ndarray, v: jnp.ndarray,

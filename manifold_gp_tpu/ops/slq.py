@@ -92,9 +92,14 @@ def _tridiag_e1_quadrature(alphas, betas, valid, f):
     return jax.vmap(one, in_axes=(1, 1, 1))(alphas, betas, valid)
 
 
-def slq_logdet_raw(matvec, probes, num_steps: int):
-    """Forward SLQ estimate of log det Q. probes: [N, P] Rademacher."""
-    n = probes.shape[0]
+def slq_logdet_raw(matvec, probes, num_steps: int, num_nodes: int = None):
+    """Forward SLQ estimate of log det Q. probes: [N, P] Rademacher.
+
+    ``num_nodes``: Hutchinson trace dimension; defaults to the probe length.
+    Pass the true node count when probes are zero-padded (padding rows make
+    e1-quadrature weights unchanged — q0 is normalized — but the trace scale
+    must be ||z||^2 = num_nodes, not the padded length)."""
+    n = probes.shape[0] if num_nodes is None else num_nodes
     q0 = probes / jnp.sqrt(jnp.sum(probes * probes, axis=0))[None, :]
     alphas, betas, valid = lanczos_batched(matvec, q0, num_steps)
     quad = _tridiag_e1_quadrature(
@@ -103,29 +108,49 @@ def slq_logdet_raw(matvec, probes, num_steps: int):
     return n * jnp.mean(quad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _slq_logdet_cc(matvec_c, num_steps, cg_tol, cg_max_iter, probes, *consts):
-    return slq_logdet_raw(lambda v: matvec_c(v, *consts), probes, num_steps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _slq_logdet_cc(
+    matvec_c, precond_c, n_mv, num_steps, cg_tol, cg_max_iter, num_nodes,
+    probes, *consts
+):
+    return slq_logdet_raw(
+        lambda v: matvec_c(v, *consts[:n_mv]), probes, num_steps,
+        num_nodes=num_nodes,
+    )
 
 
-def _slq_fwd(matvec_c, num_steps, cg_tol, cg_max_iter, probes, *consts):
-    val = slq_logdet_raw(lambda v: matvec_c(v, *consts), probes, num_steps)
+def _slq_fwd(
+    matvec_c, precond_c, n_mv, num_steps, cg_tol, cg_max_iter, num_nodes,
+    probes, *consts
+):
+    val = _slq_logdet_cc(
+        matvec_c, precond_c, n_mv, num_steps, cg_tol, cg_max_iter, num_nodes,
+        probes, *consts
+    )
     return val, (probes, consts)
 
 
-def _slq_bwd(matvec_c, num_steps, cg_tol, cg_max_iter, res, g):
+def _slq_bwd(
+    matvec_c, precond_c, n_mv, num_steps, cg_tol, cg_max_iter, num_nodes,
+    res, g
+):
     probes, consts = res
+    mvc, pc = consts[:n_mv], consts[n_mv:]
+    precond = None if precond_c is None else (lambda v: precond_c(v, *pc))
     p = probes.shape[1]
     solves = cg_raw(
-        lambda v: matvec_c(v, *consts), probes, cg_tol, cg_max_iter
+        lambda v: matvec_c(v, *mvc), probes, cg_tol, cg_max_iter,
+        precond=precond,
     )
     solves = jax.lax.stop_gradient(solves)
     # d logdet = (1/p) sum_i (Q^{-1} z_i)' dQ z_i
     _, vjp_fn = jax.vjp(
-        lambda *c: jnp.sum(solves * matvec_c(probes, *c)) / p, *consts
+        lambda *c: jnp.sum(solves * matvec_c(probes, *c)) / p, *mvc
     )
     consts_bar = vjp_fn(g)
-    return (jnp.zeros_like(probes), *consts_bar)
+    # The preconditioner never changes solutions: zero cotangents.
+    pc_bar = tuple(jnp.zeros_like(c) for c in pc)
+    return (jnp.zeros_like(probes), *consts_bar, *pc_bar)
 
 
 _slq_logdet_cc.defvjp(_slq_fwd, _slq_bwd)
@@ -137,15 +162,39 @@ def slq_logdet(
     num_steps: int,
     cg_tol: float = 1e-2,
     cg_max_iter: int = 1000,
+    precond: Callable = None,
+    num_nodes: int = None,
 ):
     """Stochastic log det of the SPD operator behind ``matvec``.
 
     Differentiable w.r.t. traced values captured by ``matvec`` (unbiased
     Hutchinson gradient); the probes themselves get a zero cotangent.
+
+    ``precond``: optional M^{-1} matvec for the backward CG solves (the
+    forward Lanczos quadrature stays unpreconditioned — preconditioned SLQ
+    would need the generalized Lanczos recurrence plus a logdet(M)
+    correction, while convergence of the *gradient* solves is where the
+    ill-conditioned cost lives).
+    ``num_nodes``: true trace dimension when the probes live in a padded
+    space with zeroed padding rows (e.g. row-sharded vectors) — the
+    Hutchinson scaling must count only the rows the probes actually cover.
     """
-    matvec_c, consts = jax.closure_convert(matvec, probes)
+    matvec_c, mv_consts = jax.closure_convert(matvec, probes)
+    if precond is None:
+        precond_c, p_consts = None, ()
+    else:
+        precond_c, p_consts = jax.closure_convert(precond, probes)
     return _slq_logdet_cc(
-        matvec_c, int(num_steps), float(cg_tol), int(cg_max_iter), probes, *consts
+        matvec_c,
+        precond_c,
+        len(mv_consts),
+        int(num_steps),
+        float(cg_tol),
+        int(cg_max_iter),
+        None if num_nodes is None else int(num_nodes),
+        probes,
+        *mv_consts,
+        *p_consts,
     )
 
 

@@ -107,6 +107,7 @@ def make_sharded_matern_precision_matvec(
     nu: int,
     lengthscale,
     normalization: str = "randomwalk",
+    tables=None,
 ):
     """Row-sharded symmetric Matérn precision matvec for multi-chip CG/SLQ.
 
@@ -117,26 +118,41 @@ def make_sharded_matern_precision_matvec(
     operand block) plus a row-local diagonal term; CG dot products over the
     sharded vectors reduce with psum under GSPMD automatically.
 
+    Fully trace-differentiable in ``coeffs`` / ``lengthscale`` (the padding
+    is jnp.pad, the static ELL tables come from ``shard_graph_rows``), so the
+    training loss — quad, SLQ logdet and their custom VJPs — runs directly
+    on this matvec (the model-level multi-chip path, models/riemann_gp.py).
+
+    ``tables``: optional pre-built ``shard_graph_rows`` result so kernels
+    can shard the (static) ELL structure once at construction.
+
     Returns (matvec, n_padded): matvec maps row-sharded [Np, B] -> [Np, B]
     (padding rows must be zero, as produced by ``pad_nodes``).
     """
-    ell_edge, ell_col, ell_mask, n_pad = shard_graph_rows(graph, mesh)
+    if tables is None:
+        tables = shard_graph_rows(graph, mesh)
+    ell_edge, ell_col, ell_mask, n_pad = tables
+    pad = n_pad - graph.num_nodes
+    sharding = NamedSharding(mesh, P(NODE_AXIS, None))
+
     shift = 2.0 * nu / jnp.square(jnp.reshape(lengthscale, ()))
-    diag_p = pad_nodes(np.asarray(coeffs.diag), n_pad, mesh)
+    diag_p = jnp.pad(coeffs.diag, (0, pad)) + shift
     # Padding rows get degree 1 so sqrt/mul keep the zero padding invariant.
-    dsq_p = jnp.sqrt(pad_nodes(np.asarray(coeffs.deg), n_pad, mesh, fill=1.0))
+    dsq_p = jnp.sqrt(jnp.pad(coeffs.deg, (0, pad), constant_values=1.0))
 
     def matvec(v):
-        out = v
+        squeeze = v.ndim == 1
+        out = v[:, None] if squeeze else v
+        out = jax.lax.with_sharding_constraint(out, sharding)
         if normalization == "randomwalk":
             out = out * dsq_p[:, None]
         for _ in range(nu):
             av = sharded_adjacency_matvec(
                 ell_edge, ell_col, ell_mask, coeffs.triu, out, mesh
             )
-            out = (diag_p + shift)[:, None] * out - av
+            out = diag_p[:, None] * out - av
         if normalization == "randomwalk":
             out = out * dsq_p[:, None]
-        return out
+        return out[:, 0] if squeeze else out
 
     return matvec, n_pad

@@ -9,11 +9,15 @@ from manifold_gp_tpu.kernels import RiemannMaternKernel
 
 
 @pytest.mark.parametrize("spmv_dtype", ["float32", "bfloat16"])
-def test_lanczos_block_basis_matches_dense(rng, spmv_dtype):
+def test_lanczos_block_basis_matches_dense(spmv_dtype):
     # Connected 1-D manifold (noisy ring): single-vector Lanczos resolves
     # only one vector per eigenspace, so (like the reference's
     # linear_operator diagonalization path) it requires simple eigenvalues —
     # i.e. a connected graph. Disconnected graphs need the dense route.
+    # Own fixed-seed rng (NOT the shared session fixture): the eigengap
+    # structure this test asserts on is sensitive to the noise draw, and the
+    # shared stateful rng makes the draw depend on test execution order.
+    rng = np.random.default_rng(20240817)
     t = np.sort(rng.uniform(0, 2 * np.pi, 600))
     x = np.stack([np.cos(t), np.sin(t)], 1).astype(np.float32)
     x += 0.01 * rng.standard_normal(x.shape).astype(np.float32)

@@ -1,0 +1,95 @@
+"""LOVE-mode predictive variances + the reference's stochastic NLL metric.
+
+Round-1 VERDICT item 4: an opt-in fast_pred_var analogue so stored notebook
+NLL targets (produced under GPyTorch LOVE + stochastic inv_quad_logdet) can
+be adjudicated quantitatively rather than asserted away.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from manifold_gp_tpu.config import InferenceConfig
+from manifold_gp_tpu.kernels import RiemannMaternKernel
+from manifold_gp_tpu.models import RiemannGP
+from manifold_gp_tpu.utils.evaluate import gaussian_nll, gaussian_nll_stochastic
+
+
+@pytest.fixture(scope="module")
+def fitted(small_cloud):
+    x, y = small_cloud
+    cfg = InferenceConfig()
+    kernel = RiemannMaternKernel(
+        nu=2, x=x, nearest_neighbors=6,
+        laplacian_normalization="randomwalk", num_modes=12, cfg=cfg,
+    )
+    model = RiemannGP(x, y, kernel, cfg=cfg)
+    params = model.init_params(
+        noise=1e-2, outputscale=1.0, graphbandwidth=0.3, lengthscale=1.0
+    )
+    return model, params, x
+
+
+def test_love_full_rank_matches_exact(fitted):
+    """love_rank >= n_train exhausts the Krylov space: LOVE variances equal
+    the exact Woodbury variances."""
+    model, params, x = fitted
+    post_exact = model.eval(params).posterior(params, x, is_train=True)
+    model.eval(params, love_rank=x.shape[0])
+    post_love = model.posterior(params, x, is_train=True)
+    scale = float(jnp.max(jnp.abs(post_exact.covar)))
+    np.testing.assert_allclose(
+        np.asarray(post_love.covar),
+        np.asarray(post_exact.covar),
+        atol=5e-4 * scale,
+    )
+    # the mean path is shared (exact) in both modes
+    np.testing.assert_allclose(
+        np.asarray(post_love.mean), np.asarray(post_exact.mean), atol=1e-5
+    )
+
+
+def test_love_low_rank_underestimates_like_love(fitted):
+    """A truncated rank keeps the covariance PSD-dominated but deviates from
+    exact — the approximation regime the reference's stored NLLs lived in."""
+    model, params, x = fitted
+    post_exact = model.eval(params).posterior(params, x, is_train=True)
+    model.eval(params, love_rank=8)
+    post_love = model.posterior(params, x, is_train=True)
+    diff = float(jnp.max(jnp.abs(post_love.covar - post_exact.covar)))
+    # On in-sample points the exact posterior covariance nearly cancels
+    # (K** ~ K*t K^-1 Kt*), so truncated-rank LOVE leaves an O(prior-scale)
+    # remainder — measurable against exact, bounded by the prior covariance.
+    prior_scale = float(jnp.max(jnp.abs(post_love.covar)))
+    assert diff > 1e-4 * prior_scale, "rank-8 LOVE should differ from exact"
+    kern_prior = model._cache["s"] * jnp.matmul(
+        model.kernel.features(params, model._cache["basis"], x, is_train=True),
+        model.kernel.features(params, model._cache["basis"], x, is_train=True).T,
+    )
+    assert diff <= 1.5 * float(jnp.max(jnp.abs(kern_prior))), (
+        "LOVE error must stay bounded by the prior covariance scale"
+    )
+    assert np.all(np.isfinite(np.asarray(post_love.covar)))
+
+
+def test_stochastic_nll_converges_to_exact(rng):
+    """The mBCG-style metric approaches the exact NLL as probes/steps grow,
+    and carries visible spread at GPyTorch defaults."""
+    n = 300
+    a = rng.standard_normal((n, 40)).astype(np.float32)
+    covar = jnp.asarray(a @ a.T / 40 + 0.05 * np.eye(n, dtype=np.float32))
+    err = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    exact = float(gaussian_nll(err, covar))
+    rich = float(
+        gaussian_nll_stochastic(
+            err, covar, jax.random.PRNGKey(0), num_probes=128,
+            lanczos_steps=80, cg_tol=1e-6, jitter=0.0,
+        )
+    )
+    assert abs(rich - exact) < 0.02, (rich, exact)
+    # at reference defaults the estimate is close but not exact
+    ref_like = float(
+        gaussian_nll_stochastic(err, covar, jax.random.PRNGKey(1))
+    )
+    assert abs(ref_like - exact) < 0.3

@@ -81,13 +81,14 @@ def test_fused_precision_pallas_interpret(small_block_problem, rng):
 
     import jax
 
-    from manifold_gp_tpu.ops import pallas_spmv
+    from manifold_gp_tpu.ops import pallas_spmv, sparse_formats
     from manifold_gp_tpu.ops.matern import make_matern_precision_matvec
 
     graph, _, layout = small_block_problem
     v = jnp.asarray(rng.standard_normal((600,)).astype(np.float32))
 
-    interp_ad = functools.partial(pallas_spmv.make_matvec_ad, interpret=True)
+    def interp_ad(layout, interpret=False):
+        return pallas_spmv.make_matvec_ad(layout, interpret=True)
 
     def quad(eps, ls, pallas):
         c = laplacian_coeffs(graph, eps)
@@ -98,10 +99,60 @@ def test_fused_precision_pallas_interpret(small_block_problem, rng):
         return jnp.sum(v * mv(v[:, None])[:, 0])
 
     args = (jnp.float32(0.4), jnp.float32(1.1))
-    with unittest.mock.patch.object(pallas_spmv, "make_matvec_ad", interp_ad):
+    with unittest.mock.patch.object(sparse_formats, "make_matvec_ad", interp_ad):
         val_p = quad(*args, True)
         g_p = jax.grad(quad, argnums=(0, 1))(*args, True)
     val_e = quad(*args, False)
     g_e = jax.grad(quad, argnums=(0, 1))(*args, False)
     np.testing.assert_allclose(float(val_p), float(val_e), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_e), rtol=1e-4)
+
+
+def test_streaming_kernel_matches_einsum(small_block_problem, rng):
+    """HBM-operand streaming kernel (interpret mode) vs the einsum path."""
+    from manifold_gp_tpu.ops.pallas_spmv import block_matvec_pallas_streaming
+
+    graph, coeffs, layout = small_block_problem
+    blocks = block_sparse.assemble(layout, coeffs.diag, coeffs.triu)
+    v = jnp.asarray(rng.standard_normal((600, 8)).astype(np.float32))
+    pv = block_sparse.permute_in(layout, v)
+    expected = block_sparse.matvec_permuted(layout, blocks, pv)
+    got = block_matvec_pallas_streaming(layout, blocks, pv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_streaming_ad_dispatch_and_vjp(small_block_problem, rng):
+    """With the VMEM budget patched to 0, make_matvec_ad routes through the
+    streaming kernel; forward + VJPs still match the einsum path."""
+    import unittest.mock
+
+    import jax
+
+    from manifold_gp_tpu.ops import pallas_spmv
+
+    graph, coeffs, layout = small_block_problem
+    blocks = block_sparse.assemble(layout, coeffs.diag, coeffs.triu)
+    v = jnp.asarray(rng.standard_normal((600, 4)).astype(np.float32))
+    pv = block_sparse.permute_in(layout, v)
+    cot = jnp.asarray(
+        rng.standard_normal((layout.num_padded, 4)).astype(np.float32)
+    )
+
+    with unittest.mock.patch.object(pallas_spmv, "_OPERAND_VMEM_BUDGET", 0):
+        mv_ad = pallas_spmv.make_matvec_ad(layout, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(mv_ad(blocks, pv)),
+            np.asarray(block_sparse.matvec_permuted(layout, blocks, pv)),
+            atol=2e-5,
+        )
+        gp = jax.grad(
+            lambda b, p: jnp.sum(mv_ad(b, p) * cot), argnums=(0, 1)
+        )(blocks, pv)
+    ge = jax.grad(
+        lambda b, p: jnp.sum(
+            block_sparse.matvec_permuted(layout, b, p) * cot
+        ),
+        argnums=(0, 1),
+    )(blocks, pv)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(ge[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(ge[1]), atol=2e-5)
