@@ -88,7 +88,43 @@ def main():
     )
     rmse, nll = test_model(model, params, test_x, test_y, noisy_test=True)
     print(f"RMSE Geometric: {rmse:.4f}   (reference 0.3881)")
-    print(f"NLL Geometric: {nll:.4f}   (reference -3.2100)")
+    print(f"NLL Geometric (exact): {nll:.4f}   (reference -3.2100)")
+
+    # Adjudicate the NLL-target gap: the reference's stored -3.21 was
+    # computed by GPyTorch mBCG's *stochastic* inv_quad_logdet on the
+    # 1546x1546 posterior covariance (test block > max_cholesky_size=800;
+    # utils/test_model.py:23-24), i.e. SLQ with 10 probes / 20 Lanczos steps
+    # at cg_tolerance=1e-2 — not an exact quantity. Reproduce that metric
+    # over several seeds to show where its estimates land.
+    samples = []
+    for seed in range(8):
+        _, nll_s = test_model(
+            model, params, test_x, test_y, noisy_test=True,
+            metric="reference", key=jax.random.PRNGKey(seed),
+        )
+        samples.append(nll_s)
+    samples = np.asarray(samples)
+    print(
+        f"NLL Geometric (reference stochastic metric, 8 seeds): "
+        f"{samples.mean():.4f} +/- {samples.std(ddof=1):.4f} "
+        f"[min {samples.min():.4f}, max {samples.max():.4f}]"
+    )
+
+    # LOVE-mode variances (fast_pred_var analogue) at GPyTorch's default
+    # max_root_decomposition_size=100: with 10 train points the Krylov space
+    # is exhausted, so LOVE itself is exact here — the variance path is NOT
+    # the source of the -3.04 vs -3.21 delta.
+    model.eval(params, love_rank=100)
+    post = model.posterior(
+        params, test_x, noisy_posterior=True, is_train=False
+    )
+    import jax.numpy as jnp
+
+    from manifold_gp_tpu.utils.evaluate import gaussian_nll
+
+    err = jnp.asarray(test_y, jnp.float32) - post.mean
+    nll_love = float(gaussian_nll(err, post.covar))
+    print(f"NLL Geometric (LOVE rank-100 variances, exact metric): {nll_love:.4f}")
 
     hv = {k: float(v) for k, v in
           np.load(PRETRAINED / "1D_vanilla_semisupervised.npz").items()}
