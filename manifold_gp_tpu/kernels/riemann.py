@@ -268,7 +268,37 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
     c = kernel.coeffs(params)
     n = kernel.graph.num_nodes
     m = min(kernel.num_modes, n)
-    if n <= kernel.cfg.eigh_max_size:
+    if kernel.mesh is not None:
+        # Row-sharded spectral basis: block LOBPCG over the shard_map SpMV.
+        # The padded rows are pinned at the Gershgorin bound (the top of the
+        # shifted spectrum), so they can never displace the smallest-m true
+        # eigenpairs; every [m, m] reduction inside lobpcg_standard psum's
+        # across the mesh under GSPMD. Replaces the reference's
+        # single-device ``diagonalization``
+        # (graph_laplacian_operator.py:132-144) at multi-chip scale.
+        from ..parallel.spmv import sharded_adjacency_matvec
+
+        tables = kernel._sharded_tables
+        npad = tables[3]
+        pad = npad - n
+        bound = gershgorin_bound(kernel.graph, c)
+        diag_p = jnp.pad(c.diag, (0, pad))
+        mask = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad))[:, None]
+
+        def lap_mv_pad(v):
+            av = sharded_adjacency_matvec(
+                tables[0], tables[1], tables[2], c.triu, v, kernel.mesh
+            )
+            lv = diag_p[:, None] * v - av
+            return mask * lv + bound * (1.0 - mask) * v
+
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (npad, m), jnp.float32)
+        x0 = x0 * mask
+        eigval, eigvec = lobpcg_smallest(
+            lap_mv_pad, x0, bound, max_iter=kernel.cfg.eigensolver_max_iter
+        )
+        eigvec = eigvec[:n]
+    elif n <= kernel.cfg.eigh_max_size:
         # Small-N exact path: dense symmetric eigh, like reference eval()
         # (riemann_kernel.py:121-124).
         lap = laplacian_dense(kernel.graph, c)
