@@ -64,7 +64,10 @@ class InferenceConfig:
     # Storage/matmul dtype for the block-sparse panel buffer: "float32"
     # (exact, 6-pass MXU emulation) or "bfloat16" (native MXU throughput,
     # f32 accumulation; ~1e-3 relative matvec error — safe at the
-    # reference's 1e-2 CG tolerance, measured CG solution diff ~4e-4).
+    # reference's 1e-2 CG tolerance. Measured CG-solution relative error:
+    # 4e-4 on the SRMNIST-shape graph, 3.8e-3 on a small-bandwidth clustered
+    # graph; trained-hyperparameter drift <2% over 10 epochs — pinned by
+    # tests/test_bf16_solve.py).
     spmv_dtype: str = "float32"
     # Jacobi-precondition every CG solve (the Schur inner solve, engine
     # solves, and the SLQ gradient solves) with the composed operator's
