@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Jacobi-PCG vs plain CG on an ill-conditioned Matérn precision
+(VERDICT round-1 item 3's bench row).
+
+Clustered data (SRMNIST shape: non-uniform sampling density) makes the
+density-corrected degree — and hence diag(Q) — spread over orders of
+magnitude; Jacobi flattens exactly that. Uniform-density manifolds have a
+near-constant diagonal and see no benefit (the conditioning there is purely
+spectral); see tests/test_precondition.py.
+
+Usage: python benchmark/bench_precond.py [--n 10010] [--nu 3] [--eps 0.15]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10010)
+    ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--nu", type=int, default=3)
+    ap.add_argument("--eps", type=float, default=None,
+                    help="graph bandwidth (default: 0.5x median kNN distance — small enough to expose the density spread)")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--tol", type=float, default=1e-4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu.ops.cg import cg_raw
+    from manifold_gp_tpu.ops.graph import build_graph
+    from manifold_gp_tpu.ops.laplacian import laplacian_coeffs
+    from manifold_gp_tpu.ops.matern import (
+        make_jacobi_precond,
+        make_matern_precision_matvec,
+        matern_precision_diag,
+    )
+    from manifold_gp_tpu.ops.sparse_formats import build_layout, permute_in
+
+    rng = np.random.default_rng(0)
+    # Mixed-density clusters (per-cluster noise scales 0.1..0.8): sampling
+    # density varies ~10x between cluster cores, so the density-corrected
+    # degree — and diag(Q) = O(deg^..nu) — spreads over orders of magnitude.
+    centers = rng.standard_normal((10, 8)).astype(np.float32) * 4.0
+    scales = np.geomspace(0.1, 0.8, 10).astype(np.float32)
+    cid = rng.integers(0, 10, args.n)
+    x = centers[cid] + scales[cid, None] * rng.standard_normal(
+        (args.n, 8)
+    ).astype(np.float32)
+    graph = build_graph(x, args.k, knn_backend="host")
+    eps = args.eps
+    if eps is None:
+        eps = 0.5 * float(np.sqrt(np.median(np.asarray(graph.sqdist))))
+    coeffs = laplacian_coeffs(graph, eps)
+    layout = build_layout(graph)
+    pallas = layout is not None and jax.devices()[0].platform == "tpu"
+    diag = matern_precision_diag(graph, coeffs, args.nu, 1.0, "randomwalk")
+    print(
+        f"# N={args.n} nu={args.nu} eps={eps:.4f} "
+        f"diag spread {float(diag.max() / diag.min()):.1e} pallas={pallas}",
+        file=sys.stderr,
+    )
+
+    mv = make_matern_precision_matvec(
+        graph, coeffs, args.nu, 1.0, "randomwalk",
+        block=(layout, None) if layout is not None else None,
+        permuted_io=layout is not None, pallas=pallas,
+    )
+    b = jnp.asarray(
+        rng.standard_normal((args.n, args.batch)).astype(np.float32)
+    )
+    if layout is not None:
+        b = permute_in(layout, b)
+        from manifold_gp_tpu.ops import sparse_formats
+
+        dperm = diag[layout.perm]
+    else:
+        dperm = diag
+    # padding rows: any positive value works (residuals there are zero)
+    dperm = jnp.maximum(dperm, 1e-12)
+
+    results = {}
+    for name, pc in (("plain", None), ("jacobi", make_jacobi_precond(dperm))):
+        run = jax.jit(
+            lambda b, pc=pc: cg_raw(
+                mv, b, args.tol, 20000, precond=pc, with_info=True
+            )
+        )
+        xsol, iters = run(b)
+        float(xsol[0, 0])
+        t0 = time.perf_counter()
+        xsol, iters = run(b)
+        float(xsol[0, 0])
+        dt = time.perf_counter() - t0
+        results[name] = (int(iters), dt)
+        print(f"# {name}: {int(iters)} iters, {dt:.2f}s", file=sys.stderr)
+
+    (ip, tp), (ij, tj) = results["plain"], results["jacobi"]
+    print(
+        json.dumps(
+            {
+                "metric": "pcg_iteration_reduction",
+                "value": round(ip / max(ij, 1), 3),
+                "unit": "x fewer CG iterations (jacobi vs plain)",
+                "iters_plain": ip,
+                "iters_jacobi": ij,
+                "speedup_time": round(tp / tj, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
