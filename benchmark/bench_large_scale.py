@@ -169,6 +169,52 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size):
     return matvecs / dt
 
 
+def bench_basis(graph, eps, num_modes, max_iter):
+    """Spectral-basis extraction (block LOBPCG over the fused SpMV) — the
+    prediction-side cost the reference pays with dense O(N^3) eigh."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu.ops.eigen import lobpcg_smallest
+    from manifold_gp_tpu.ops.laplacian import (
+        gershgorin_bound,
+        laplacian_coeffs,
+        laplacian_matvec,
+    )
+    from manifold_gp_tpu.ops.sparse_formats import assemble, build_layout
+
+    coeffs = laplacian_coeffs(graph, eps)
+    layout = build_layout(graph)
+    pallas = layout is not None and jax.devices()[0].platform == "tpu"
+    n = graph.num_nodes
+    print(f"# basis: N={n} m={num_modes} iters={max_iter} pallas={pallas}",
+          file=sys.stderr)
+
+    @jax.jit
+    def run(graph_, layout_, c):
+        block = (
+            (layout_, assemble(layout_, c.diag, c.triu))
+            if layout_ is not None
+            else None
+        )
+        mv = lambda v: laplacian_matvec(  # noqa: E731
+            graph_, c, v, "symmetric", block=block,
+            pallas=pallas and block is not None,
+        )
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (n, num_modes),
+                               jnp.float32)
+        return lobpcg_smallest(mv, x0, gershgorin_bound(graph_, c),
+                               max_iter=max_iter)
+
+    val, vec = run(graph, layout, coeffs)
+    float(val[0])
+    t0 = time.perf_counter()
+    val, vec = run(graph, layout, coeffs)
+    float(val[0])
+    return time.perf_counter() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
@@ -181,6 +227,10 @@ def main():
     ap.add_argument("--ls", type=float, default=1.0)
     ap.add_argument("--mesh", type=int, default=0,
                     help="row-shard over this many devices (0 = single)")
+    ap.add_argument("--basis", type=int, default=0,
+                    help="instead of CG: time LOBPCG basis extraction of "
+                         "this many modes")
+    ap.add_argument("--basis-iters", type=int, default=100)
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -191,6 +241,16 @@ def main():
     if eps is None:
         eps = 2.0 * float(np.sqrt(np.median(np.asarray(graph.sqdist))))
 
+    if args.basis:
+        import json
+
+        dt = bench_basis(graph, eps, args.basis, args.basis_iters)
+        print(json.dumps({
+            "metric": "lobpcg_basis_seconds", "value": round(dt, 2),
+            "unit": "s", "n": args.n, "modes": args.basis,
+            "iters": args.basis_iters,
+        }))
+        return
     if args.mesh:
         rate = bench_sharded(
             graph, eps, args.nu, args.ls, args.batch, args.cg_iters, args.mesh

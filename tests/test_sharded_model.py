@@ -163,3 +163,25 @@ def test_sharded_training_step_runs(medium_cloud, mesh):
     assert np.isfinite(float(loss))
     for k in params2:
         assert np.all(np.isfinite(np.asarray(params2[k])))
+
+
+def test_sharded_manifold_informed_train(medium_cloud, mesh):
+    """The full training utility (chunked lax.scan epochs, plateau scheduler,
+    outputscale renormalization) drives a mesh model end to end."""
+    from manifold_gp_tpu.utils import ReduceLROnPlateau, manifold_informed_train
+
+    x, y = medium_cloud
+    cfg = InferenceConfig(
+        max_cholesky=0, num_probes=8, lanczos_max_iter=20,
+        cg_tolerance=1e-3, cg_max_iter=150, use_block_sparse=False,
+    )
+    model, params = _build(x, y, cfg, mesh=mesh)
+    params, loss, _ = manifold_informed_train(
+        model, params, lr=5e-2, max_iter=4, tolerance=0.0,
+        update_norm=None, num_rand_vec=32,
+        scheduler=ReduceLROnPlateau(factor=0.5, patience=50, threshold=1e-3),
+        verbose=False,
+    )
+    assert np.isfinite(float(loss))
+    for k, v in params.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
