@@ -215,6 +215,65 @@ def bench_basis(graph, eps, num_modes, max_iter):
     return time.perf_counter() - t0
 
 
+def bench_train_step(graph, x, eps, nu, num_probes):
+    """Full model-level training step (value_and_grad of the precision-form
+    MLL: quad + SLQ logdet + Jacobi-PCG gradient solves) at scale — the
+    BASELINE config-5 'flagship training' cost on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu.config import InferenceConfig
+    from manifold_gp_tpu.kernels import RiemannMaternKernel
+    from manifold_gp_tpu.models import RiemannGP
+
+    import dataclasses
+
+    n = graph.num_nodes
+    # Scale coordinates so the graph bandwidth is O(1): at 1M points on a
+    # unit curve the spacing is ~1e-6, so eps ~ 1e-5 and the Laplacian diag
+    # ~ 1/eps^2 ~ 1e10 overflows the f32 truncated-Neumann noise wrapper
+    # (Q^3 terms). Same f32 characteristic as the reference's operator stack
+    # (see PARITY.md's dragon note); unit-bandwidth scaling is the standard
+    # conditioning practice.
+    graph = dataclasses.replace(
+        graph, sqdist=graph.sqdist / jnp.float32(eps) ** 2
+    )
+    x = x / eps
+    eps = 1.0
+    rng = np.random.default_rng(0)
+    y = np.sin(np.arange(n) * 7.1 / n).astype(np.float32)
+    cfg = InferenceConfig(
+        max_cholesky=0, dense_operator_max_size=0,
+        num_probes=num_probes, lanczos_max_iter=32,
+        cg_tolerance=1e-2, cg_max_iter=200,
+    )
+    kernel = RiemannMaternKernel(
+        nu=nu, x=x, nearest_neighbors=16,
+        laplacian_normalization="randomwalk", num_modes=50, cfg=cfg,
+        graph=graph,
+    )
+    model = RiemannGP(x, jnp.asarray(y), kernel, cfg=cfg)
+    params = model.init_params(
+        noise=1e-2, outputscale=1.0, graphbandwidth=eps, lengthscale=1.0
+    )
+    print(
+        f"# train-step: N={n} probes={num_probes} layout="
+        f"{type(kernel.block_layout).__name__} pallas={kernel.use_pallas}",
+        file=sys.stderr,
+    )
+
+    step = jax.jit(jax.value_and_grad(model.mll_loss))
+    loss, grads = step(params, jax.random.PRNGKey(0))
+    float(loss)
+    t0 = time.perf_counter()
+    loss, grads = step(params, jax.random.PRNGKey(1))
+    float(loss)
+    dt = time.perf_counter() - t0
+    print(f"# loss {float(loss):.4f}", file=sys.stderr)
+    return dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
@@ -231,16 +290,29 @@ def main():
                     help="instead of CG: time LOBPCG basis extraction of "
                          "this many modes")
     ap.add_argument("--basis-iters", type=int, default=100)
+    ap.add_argument("--train-step", action="store_true",
+                    help="instead of CG: time one full model training step "
+                         "(value_and_grad of the SLQ marginal likelihood)")
+    ap.add_argument("--probes", type=int, default=128)
     args = ap.parse_args()
 
     t0 = time.perf_counter()
-    graph, _ = synthetic_manifold_graph(args.n, args.k)
+    graph, x = synthetic_manifold_graph(args.n, args.k)
     print(f"# graph build: {time.perf_counter() - t0:.1f}s, "
           f"M={graph.num_edges}", file=sys.stderr)
     eps = args.eps
     if eps is None:
         eps = 2.0 * float(np.sqrt(np.median(np.asarray(graph.sqdist))))
 
+    if args.train_step:
+        import json
+
+        dt = bench_train_step(graph, x, eps, args.nu, args.probes)
+        print(json.dumps({
+            "metric": "train_step_seconds", "value": round(dt, 2),
+            "unit": "s/step", "n": args.n, "probes": args.probes,
+        }))
+        return
     if args.basis:
         import json
 

@@ -66,11 +66,17 @@ class RiemannKernel:
         graphbandwidth_constraint=None,
         cfg: InferenceConfig = DEFAULT_CONFIG,
         mesh=None,
+        graph=None,
     ):
         self.x = jnp.asarray(x, jnp.float32)
         self.knn = NearestNeighbors(self.x)
         self.nearest_neighbors = int(nearest_neighbors)
-        self.graph = build_graph(self.x, self.nearest_neighbors)
+        # ``graph``: optionally inject a prebuilt SparseGraph (e.g. a
+        # procedurally banded graph at million-node scale, or edges from an
+        # external ANN index) instead of the constructor's exact kNN build.
+        self.graph = (
+            graph if graph is not None else build_graph(self.x, self.nearest_neighbors)
+        )
         self.laplacian_normalization = laplacian_normalization
         self.num_modes = int(num_modes)
         self.bump_scale = float(bump_scale)

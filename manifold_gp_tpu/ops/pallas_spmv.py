@@ -48,7 +48,9 @@ def _kernel(s_max: int, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
     # Stage the S needed operand blocks contiguously, then ONE panel matmul
     # [BLOCK, S*BLOCK] @ [S*BLOCK, batch] on the MXU.
     for s in range(s_max):  # static unroll over the block-column slots
-        col = bc_ref[i, s]
+        # flat 1D scalar table: 2D SMEM operands are lane-padded to 128
+        # columns, which overflows the 1 MB SMEM at large nrb.
+        col = bc_ref[i * s_max + s]
         scratch_ref[pl.ds(s * BLOCK, BLOCK), :] = v_ref[
             pl.ds(col * BLOCK, BLOCK), :
         ].astype(scratch_ref.dtype)
@@ -109,7 +111,7 @@ def block_matvec_pallas(
             + 2 * pv.size * pv.dtype.itemsize,
             transcendentals=0,
         ),
-    )(layout.block_col, blocks, pv)
+    )(layout.block_col.reshape(-1), blocks, pv)
 
 
 # The fused kernel keeps the whole [Np, B] operand VMEM-resident; beyond
@@ -239,7 +241,10 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     """
 
     def run_kernel(blocks, pv):
-        if pv.shape[0] * pv.shape[1] * pv.dtype.itemsize <= _OPERAND_VMEM_BUDGET:
+        # Physical VMEM footprint: the lane (batch) dim is tiled to 128, so
+        # a [1M, 1] operand really occupies [1M, 128] floats in VMEM.
+        phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
+        if phys <= _OPERAND_VMEM_BUDGET:
             return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
         if pv.shape[1] % BLOCK == 0:
             return block_matvec_pallas_streaming(layout, blocks, pv, interpret=interpret)

@@ -142,3 +142,25 @@ def test_precision_matvec_dispatch(kernel, params, rng):
     np.testing.assert_allclose(
         np.asarray(mv(jnp.asarray(v))), dense @ v, rtol=5e-3, atol=5e-4
     )
+
+
+def test_kernel_accepts_prebuilt_graph():
+    """RiemannKernel(graph=...) skips the constructor kNN build — needed for
+    million-node procedurally-built graphs (benchmark/bench_large_scale.py)
+    and external ANN indexes."""
+    import numpy as np
+
+    from manifold_gp_tpu.kernels import RiemannMaternKernel
+    from manifold_gp_tpu.ops.graph import build_graph
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((120, 3)).astype(np.float32)
+    g = build_graph(x, 5)
+    k = RiemannMaternKernel(
+        nu=1, x=x, nearest_neighbors=5,
+        laplacian_normalization="randomwalk", num_modes=6, graph=g,
+    )
+    assert k.graph is g
+    p = k.init_params(graphbandwidth=0.5, lengthscale=1.0)
+    val, vec = k.eval_basis(p)
+    assert vec.shape == (120, 6)
