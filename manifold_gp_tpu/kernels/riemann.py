@@ -98,7 +98,9 @@ class RiemannKernel:
         # (see ops.sparse_formats) — falling back to the ELL gather scan.
         self.use_dense_operator = self.graph.num_nodes <= cfg.dense_operator_max_size
         self.block_layout = None
-        if not self.use_dense_operator and cfg.use_block_sparse:
+        # (mesh kernels use the row-sharded ELL tables instead of a fused
+        # single-chip layout — skip the host-side RCM/layout build.)
+        if not self.use_dense_operator and cfg.use_block_sparse and mesh is None:
             from ..ops.sparse_formats import build_layout
 
             self.block_layout = build_layout(

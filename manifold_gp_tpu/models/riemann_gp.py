@@ -309,11 +309,15 @@ class RiemannGP:
             return self._mll_loss_sharded(params, key=key)
         n = self.num_data
         y = self.train_y
-        mv = self.precision_matvec(params, noise=True)
+        # One coefficient computation shared by the operator and the
+        # preconditioner (XLA would CSE the duplicates under jit, but eager
+        # callers should not pay the scatter pipeline twice).
+        c = self.kernel.coeffs(params)
+        mv = self.precision_matvec(params, noise=True, coeffs=c)
         quad = jnp.dot(y, mv(y[:, None])[:, 0], precision=_HIGHEST)
         ld = engine.logdet(
             mv, n, self.cfg, key=key,
-            precond=self.precision_precond(params, noise=True),
+            precond=self.precision_precond(params, noise=True, coeffs=c),
         )
         loss = 0.5 * (quad - ld + n * jnp.log(2.0 * jnp.pi))
         for _, prior, value_fn in self.kernel.priors():
