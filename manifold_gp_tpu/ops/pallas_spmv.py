@@ -219,6 +219,105 @@ def block_matvec_pallas_streaming(
     )(layout.block_col.reshape(-1), blocks, pv)
 
 
+def _kernel_bwd_blocks(
+    s_max: int, nrb: int, bc_ref, g_ref, pv_ref, out_ref, stage_ref, sem_ref
+):
+    """bar_blocks[r] = g[r] @ gathered_pv[r]^T — the panel-cotangent of the
+    streaming matvec, with the same double-buffered operand-slice DMA as the
+    forward kernel (no [nrb, S*128, B] HBM materialization)."""
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+
+    def dma(row_block, slot, s):
+        col = bc_ref[row_block * s_max + s]
+        return pltpu.make_async_copy(
+            pv_ref.at[pl.ds(col * BLOCK, BLOCK), :],
+            stage_ref.at[slot, pl.ds(s * BLOCK, BLOCK), :],
+            sem_ref.at[slot, s],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(s_max):
+            dma(0, 0, s).start()
+
+    @pl.when(i + 1 < nrb)
+    def _():
+        for s in range(s_max):
+            dma(i + 1, next_slot, s).start()
+
+    for s in range(s_max):
+        dma(i, slot, s).wait()
+
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if out_ref.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    g = g_ref[:].astype(jnp.bfloat16) if out_ref.dtype == jnp.bfloat16 else g_ref[:]
+    st = stage_ref[slot].astype(g.dtype)
+    out_ref[0] = jax.lax.dot_general(
+        g,
+        st,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def block_bwd_blocks_pallas_streaming(
+    layout: BlockLayout,
+    g: jnp.ndarray,
+    pv: jnp.ndarray,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Panel cotangent bar_blocks [nrb, BLOCK, S*BLOCK] from cotangent g and
+    operand pv (both [Np, B] in permuted space, B a multiple of 128)."""
+    nrb, s_max = layout.num_row_blocks, layout.max_blocks
+    batch = pv.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb,),
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK, batch), lambda i, bc: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # operand stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BLOCK, s_max * BLOCK),
+            lambda i, bc: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, s_max * BLOCK, batch), pv.dtype),
+            pltpu.SemaphoreType.DMA((2, s_max)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_bwd_blocks, s_max, nrb),
+        out_shape=jax.ShapeDtypeStruct(
+            (nrb, BLOCK, s_max * BLOCK), out_dtype
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nrb * s_max * BLOCK * BLOCK * batch,
+            bytes_accessed=(nrb * s_max * BLOCK + 2 * layout.num_padded)
+            * batch
+            * pv.dtype.itemsize
+            + nrb * BLOCK * s_max * BLOCK * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(layout.block_col.reshape(-1), g, pv)
+
+
 def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     """Differentiable Pallas block matvec: (blocks, pv) -> L @ pv in permuted
     space, with a custom VJP so the *training* hot loop can run the fused
@@ -267,6 +366,15 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
         blocks, pv = res
         g = g.astype(pv.dtype)
         bar_pv = run_kernel(blocks, g)
+        phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
+        if phys > _OPERAND_VMEM_BUDGET and pv.shape[1] % BLOCK == 0:
+            # Large-N: fused panel-cotangent kernel (same operand-slice DMA
+            # as the forward) instead of materializing the [nrb, S*128, B]
+            # gathered operand in HBM for an einsum.
+            bar_blocks = block_bwd_blocks_pallas_streaming(
+                layout, g, pv, out_dtype=blocks.dtype, interpret=interpret
+            )
+            return bar_blocks, bar_pv
         grouped = pv.reshape(layout.num_row_blocks, BLOCK, -1)
         cb = grouped[layout.block_col].reshape(
             layout.num_row_blocks, layout.max_blocks * BLOCK, -1

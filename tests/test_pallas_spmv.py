@@ -156,3 +156,47 @@ def test_streaming_ad_dispatch_and_vjp(small_block_problem, rng):
     )(blocks, pv)
     np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(ge[0]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(ge[1]), atol=2e-5)
+
+
+def test_streaming_bwd_blocks_kernel_matches_einsum(small_block_problem, rng):
+    """The fused panel-cotangent kernel (interpret mode) vs the einsum
+    bar_blocks, both standalone and through the VJP dispatch."""
+    import unittest.mock
+
+    import jax
+
+    from manifold_gp_tpu.ops import pallas_spmv
+
+    graph, coeffs, layout = small_block_problem
+    blocks = block_sparse.assemble(layout, coeffs.diag, coeffs.triu)
+    v = jnp.asarray(rng.standard_normal((600, 128)).astype(np.float32))
+    pv = block_sparse.permute_in(layout, v)
+    g = jnp.asarray(
+        rng.standard_normal((layout.num_padded, 128)).astype(np.float32)
+    )
+
+    grouped = pv.reshape(layout.num_row_blocks, 128, -1)
+    cb = grouped[layout.block_col].reshape(
+        layout.num_row_blocks, layout.max_blocks * 128, -1
+    )
+    gg = g.reshape(layout.num_row_blocks, 128, -1)
+    expected = jnp.einsum("rib,rkb->rik", gg, cb)
+
+    got = pallas_spmv.block_bwd_blocks_pallas_streaming(
+        layout, g, pv, interpret=True
+    )
+    scale = float(jnp.max(jnp.abs(expected)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=2e-5 * max(scale, 1.0)
+    )
+
+    # through the VJP with the budget patched so dispatch takes this path
+    with unittest.mock.patch.object(pallas_spmv, "_OPERAND_VMEM_BUDGET", 0):
+        mv_ad = pallas_spmv.make_matvec_ad(layout, interpret=True)
+        gp = jax.grad(lambda b: jnp.sum(mv_ad(b, pv) * g))(blocks)
+    ge = jax.grad(
+        lambda b: jnp.sum(block_sparse.matvec_permuted(layout, b, pv) * g)
+    )(blocks)
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(ge), atol=2e-5 * max(scale, 1.0)
+    )
