@@ -161,7 +161,9 @@ def bench_torch_baseline(graph, batch, iters=10):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10010
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    batch = 64
+    # 128 matches the training configuration (num_probes=128 SLQ probes ride
+    # every CG/Lanczos matvec as one [N, 128] batch) and the MXU/lane width.
+    batch = 128
     x = build_inputs(n=n, k=k)
     ours, graph = bench_jax(x, k, batch)
     base = bench_torch_baseline(graph, batch)

@@ -58,7 +58,7 @@ def synthetic_manifold_graph(n: int, k: int = 16, seed: int = 0):
     return graph_from_edges(r2, c2, sqd, n), x
 
 
-def bench_single_device(graph, eps, nu, ls, batch, cg_iters):
+def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -90,11 +90,13 @@ def bench_single_device(graph, eps, nu, ls, batch, cg_iters):
     # Every large array (graph, layout, coefficients) is a jit ARGUMENT, not
     # a closure constant — the tunneled backend ships program constants with
     # the compile request, which has a hard size limit.
+    panel_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+
     @jax.jit
     def run_cg(graph_, layout_, c, b):
         mv = make_matern_precision_matvec(
             graph_, c, nu, ls, "randomwalk",
-            block=(layout_, None) if layout_ is not None else None,
+            block=(layout_, panel_dtype) if layout_ is not None else None,
             permuted_io=layout_ is not None, pallas=pallas,
         )
         # tol=0 forces exactly cg_iters iterations -> deterministic matvec count
@@ -215,7 +217,7 @@ def bench_basis(graph, eps, num_modes, max_iter):
     return time.perf_counter() - t0
 
 
-def bench_train_step(graph, x, eps, nu, num_probes):
+def bench_train_step(graph, x, eps, nu, num_probes, dtype="float32"):
     """Full model-level training step (value_and_grad of the precision-form
     MLL: quad + SLQ logdet + Jacobi-PCG gradient solves) at scale — the
     BASELINE config-5 'flagship training' cost on one chip."""
@@ -247,6 +249,7 @@ def bench_train_step(graph, x, eps, nu, num_probes):
         max_cholesky=0, dense_operator_max_size=0,
         num_probes=num_probes, lanczos_max_iter=32,
         cg_tolerance=1e-2, cg_max_iter=200,
+        spmv_dtype=dtype,
     )
     kernel = RiemannMaternKernel(
         nu=nu, x=x, nearest_neighbors=16,
@@ -294,6 +297,10 @@ def main():
                     help="instead of CG: time one full model training step "
                          "(value_and_grad of the SLQ marginal likelihood)")
     ap.add_argument("--probes", type=int, default=128)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="SpMV panel dtype (bfloat16 halves the HBM panel "
+                         "stream; accuracy bounds in tests/test_bf16_solve.py)")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -307,10 +314,11 @@ def main():
     if args.train_step:
         import json
 
-        dt = bench_train_step(graph, x, eps, args.nu, args.probes)
+        dt = bench_train_step(graph, x, eps, args.nu, args.probes, args.dtype)
         print(json.dumps({
             "metric": "train_step_seconds", "value": round(dt, 2),
             "unit": "s/step", "n": args.n, "probes": args.probes,
+            "dtype": args.dtype,
         }))
         return
     if args.basis:
@@ -330,14 +338,15 @@ def main():
         label = f"sharded_cg_matvecs_per_s_mesh{args.mesh}"
     else:
         rate = bench_single_device(
-            graph, eps, args.nu, args.ls, args.batch, args.cg_iters
+            graph, eps, args.nu, args.ls, args.batch, args.cg_iters,
+            args.dtype,
         )
         label = "cg_matvecs_per_s_1chip"
     import json
 
     print(json.dumps({
         "metric": label, "value": round(rate, 1), "unit": "matvec/s",
-        "n": args.n, "k": args.k, "batch": args.batch,
+        "n": args.n, "k": args.k, "batch": args.batch, "dtype": args.dtype,
     }))
 
 
