@@ -58,10 +58,22 @@ class BlockLayout:
     num_padded: int
     num_row_blocks: int
     max_blocks: int  # S
+    # Every row block's used column blocks form the contiguous window
+    # [block_col[i,0], block_col[i,0]+S) (in-bounds): streaming kernels may
+    # fetch each row block's operand as ONE [S*BLOCK, B] DMA instead of S
+    # separate [BLOCK, B] slices. True for banded RCM orderings (curves,
+    # meshes); padding slots are sound because their panel columns are zero.
+    window_dma: bool = False
 
     def tree_flatten(self):
         children = (self.perm, self.unperm, self.block_col, self.edge_flat, self.diag_flat)
-        aux = (self.num_nodes, self.num_padded, self.num_row_blocks, self.max_blocks)
+        aux = (
+            self.num_nodes,
+            self.num_padded,
+            self.num_row_blocks,
+            self.max_blocks,
+            self.window_dma,
+        )
         return children, aux
 
     @classmethod
@@ -108,10 +120,17 @@ def build_block_layout(
         return None
     block_col = np.zeros((nrb, s_max), np.int64)
     slot_of = {}  # (rb, cb) -> slot
+    window_dma = True
     for i, s in enumerate(cols_per_rb):
-        for j, cbj in enumerate(sorted(s)):
+        cs = sorted(s)
+        for j, cbj in enumerate(cs):
             block_col[i, j] = cbj
             slot_of[(i, cbj)] = j
+        # window_dma: used slots contiguous from cs[0] AND the full S-window
+        # stays in-bounds (padding slots read real-but-unused operand rows,
+        # multiplied by zero panel columns).
+        if cs != list(range(cs[0], cs[0] + len(cs))) or cs[0] + s_max > nrb:
+            window_dma = False
 
     # flat scatter index for a (new-order) entry (i, j) in the transposed
     # panel buffer [nrb, BLOCK, S*BLOCK]: row-block panels are [BLOCK, S*BLOCK]
@@ -144,6 +163,7 @@ def build_block_layout(
         num_padded=int(npad),
         num_row_blocks=int(nrb),
         max_blocks=int(s_max),
+        window_dma=bool(window_dma),
     )
 
 
