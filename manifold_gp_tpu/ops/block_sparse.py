@@ -58,12 +58,15 @@ class BlockLayout:
     num_padded: int
     num_row_blocks: int
     max_blocks: int  # S
-    # Every row block's used column blocks form the contiguous window
-    # [block_col[i,0], block_col[i,0]+S) (in-bounds): streaming kernels may
-    # fetch each row block's operand as ONE [S*BLOCK, B] DMA instead of S
-    # separate [BLOCK, B] slices. True for banded RCM orderings (curves,
-    # meshes); padding slots are sound because their panel columns are zero.
-    window_dma: bool = False
+    # NOTE on single-window DMA (measured, rejected): banded layouts admit a
+    # streaming-kernel variant that fetches each row block's operand as ONE
+    # [S*BLOCK, B] DMA (window-enumerated block_col) instead of S separate
+    # [BLOCK, B] slices. Measured on v5e: 1M nodes / k=50 / batch 128 (S=3)
+    # 12.32k vs 12.56k matvec/s — 2% SLOWER (same bytes; the slices are
+    # already 64 KB, so DMA count is not the bottleneck), and the wide-S
+    # streaming regime is unreachable (manifold graphs at large N are
+    # narrow-band; wide-S clustered graphs either fit the VMEM-resident
+    # kernel or exceed the S cap). Removed rather than kept as dead code.
 
     def tree_flatten(self):
         children = (self.perm, self.unperm, self.block_col, self.edge_flat, self.diag_flat)
@@ -72,7 +75,6 @@ class BlockLayout:
             self.num_padded,
             self.num_row_blocks,
             self.max_blocks,
-            self.window_dma,
         )
         return children, aux
 
@@ -120,17 +122,10 @@ def build_block_layout(
         return None
     block_col = np.zeros((nrb, s_max), np.int64)
     slot_of = {}  # (rb, cb) -> slot
-    window_dma = True
     for i, s in enumerate(cols_per_rb):
-        cs = sorted(s)
-        for j, cbj in enumerate(cs):
+        for j, cbj in enumerate(sorted(s)):
             block_col[i, j] = cbj
             slot_of[(i, cbj)] = j
-        # window_dma: used slots contiguous from cs[0] AND the full S-window
-        # stays in-bounds (padding slots read real-but-unused operand rows,
-        # multiplied by zero panel columns).
-        if cs != list(range(cs[0], cs[0] + len(cs))) or cs[0] + s_max > nrb:
-            window_dma = False
 
     # flat scatter index for a (new-order) entry (i, j) in the transposed
     # panel buffer [nrb, BLOCK, S*BLOCK]: row-block panels are [BLOCK, S*BLOCK]
@@ -163,7 +158,6 @@ def build_block_layout(
         num_padded=int(npad),
         num_row_blocks=int(nrb),
         max_blocks=int(s_max),
-        window_dma=bool(window_dma),
     )
 
 

@@ -292,9 +292,15 @@ def make_matvec_ad(layout: DiaLayout, interpret: bool = False):
     (paid only inside solve/logdet VJPs, once per solve)."""
 
     def run_kernel(band, pv):
-        if pv.shape[1] % 128 == 0:
-            return dia_matvec_pallas(layout, band, pv, interpret=interpret)
-        return matvec_permuted(layout, band, pv)
+        # Mosaic window DMA needs a 128-multiple lane (batch) dim: pad and
+        # slice (one [Npd, Bp] copy) rather than falling back to the XLA roll
+        # path, which materializes D full shifted operand copies per matvec.
+        b = pv.shape[1]
+        pad = -b % 128
+        if pad:
+            pv = jnp.pad(pv, ((0, 0), (0, pad)))
+        out = dia_matvec_pallas(layout, band, pv, interpret=interpret)
+        return out[:, :b] if pad else out
 
     @jax.custom_vjp
     def mv(band, pv):

@@ -72,15 +72,13 @@ def _kernel(s_max: int, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def block_matvec_pallas(
-    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False
-):
-    """L_sym @ pv in *permuted* space. pv: [Np, B] with zeroed padding rows
-    (see ops.block_sparse.matvec for the permutation contract). Returns the
-    permuted-product [Np, B]. ``blocks`` is the [nrb, BLOCK, S*BLOCK] panel
-    buffer (f32 or bf16)."""
-    nrb, s_max = layout.num_row_blocks, layout.max_blocks
+def resident_matvec_call(bc_flat, blocks, pv, *, s_max: int, interpret: bool = False):
+    """Core VMEM-resident matvec pallas_call with explicit dims: the row
+    panels (``blocks`` [nrb, BLOCK, S*BLOCK] + ``bc_flat`` [nrb*S]) may cover
+    only a SLICE of the rows while ``pv`` is the full operand those panels'
+    column ids index — the shape the row-sharded mesh path needs (local
+    panels x all-gathered operand). Returns [nrb*BLOCK, batch]."""
+    nrb = blocks.shape[0]
     batch = pv.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_col index table
@@ -102,7 +100,7 @@ def block_matvec_pallas(
     )
     return pl.pallas_call(
         functools.partial(_kernel, s_max),
-        out_shape=jax.ShapeDtypeStruct((layout.num_padded, batch), pv.dtype),
+        out_shape=jax.ShapeDtypeStruct((nrb * BLOCK, batch), pv.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -111,7 +109,24 @@ def block_matvec_pallas(
             + 2 * pv.size * pv.dtype.itemsize,
             transcendentals=0,
         ),
-    )(layout.block_col.reshape(-1), blocks, pv)
+    )(bc_flat, blocks, pv)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_matvec_pallas(
+    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False
+):
+    """L_sym @ pv in *permuted* space. pv: [Np, B] with zeroed padding rows
+    (see ops.block_sparse.matvec for the permutation contract). Returns the
+    permuted-product [Np, B]. ``blocks`` is the [nrb, BLOCK, S*BLOCK] panel
+    buffer (f32 or bf16)."""
+    return resident_matvec_call(
+        layout.block_col.reshape(-1),
+        blocks,
+        pv,
+        s_max=layout.max_blocks,
+        interpret=interpret,
+    )
 
 
 # The fused kernel keeps the whole [Np, B] operand VMEM-resident; beyond
@@ -170,18 +185,18 @@ def _kernel_stream(
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def block_matvec_pallas_streaming(
-    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False
+def stream_matvec_call(
+    bc_flat,
+    blocks,
+    pv,
+    *,
+    s_max: int,
+    interpret: bool = False,
 ):
-    """L_sym @ pv in permuted space with an HBM-resident operand.
-
-    Same contract as ``block_matvec_pallas`` but without the VMEM-residency
-    limit on pv: built for the large-N regime (BASELINE config 5, 1M nodes)
-    where [Np, B] is hundreds of MB. HBM traffic per call is
-    ``blocks.nbytes + nrb*S*BLOCK*B*4 (operand slices) + out.nbytes`` — the
-    einsum path additionally writes AND re-reads the gathered operand."""
-    nrb, s_max = layout.num_row_blocks, layout.max_blocks
+    """Core HBM-operand streaming matvec pallas_call with explicit dims (see
+    ``resident_matvec_call`` for the local-panels x full-operand contract).
+    Returns [nrb*BLOCK, batch]; batch must be a multiple of 128."""
+    nrb = blocks.shape[0]
     batch = pv.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_col index table
@@ -204,7 +219,7 @@ def block_matvec_pallas_streaming(
     )
     return pl.pallas_call(
         functools.partial(_kernel_stream, s_max, nrb),
-        out_shape=jax.ShapeDtypeStruct((layout.num_padded, batch), pv.dtype),
+        out_shape=jax.ShapeDtypeStruct((nrb * BLOCK, batch), pv.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -213,10 +228,30 @@ def block_matvec_pallas_streaming(
         cost_estimate=pl.CostEstimate(
             flops=2 * nrb * s_max * BLOCK * BLOCK * batch,
             bytes_accessed=blocks.size * blocks.dtype.itemsize
-            + (nrb * s_max * BLOCK + layout.num_padded) * batch * pv.dtype.itemsize,
+            + (nrb * s_max * BLOCK + nrb * BLOCK) * batch * pv.dtype.itemsize,
             transcendentals=0,
         ),
-    )(layout.block_col.reshape(-1), blocks, pv)
+    )(bc_flat, blocks, pv)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_matvec_pallas_streaming(
+    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False
+):
+    """L_sym @ pv in permuted space with an HBM-resident operand.
+
+    Same contract as ``block_matvec_pallas`` but without the VMEM-residency
+    limit on pv: built for the large-N regime (BASELINE config 5, 1M nodes)
+    where [Np, B] is hundreds of MB. HBM traffic per call is
+    ``blocks.nbytes + nrb*S*BLOCK*B*4 (operand slices) + out.nbytes`` — the
+    einsum path additionally writes AND re-reads the gathered operand."""
+    return stream_matvec_call(
+        layout.block_col.reshape(-1),
+        blocks,
+        pv,
+        s_max=layout.max_blocks,
+        interpret=interpret,
+    )
 
 
 def _kernel_bwd_blocks(
@@ -266,17 +301,19 @@ def _kernel_bwd_blocks(
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
-def block_bwd_blocks_pallas_streaming(
-    layout: BlockLayout,
-    g: jnp.ndarray,
-    pv: jnp.ndarray,
+def bwd_blocks_call(
+    bc_flat,
+    g,
+    pv,
+    *,
+    s_max: int,
     out_dtype=jnp.float32,
     interpret: bool = False,
 ):
-    """Panel cotangent bar_blocks [nrb, BLOCK, S*BLOCK] from cotangent g and
-    operand pv (both [Np, B] in permuted space, B a multiple of 128)."""
-    nrb, s_max = layout.num_row_blocks, layout.max_blocks
+    """Core panel-cotangent pallas_call with explicit dims: ``g`` covers the
+    panel rows ([nrb*BLOCK, B]), ``pv`` the full operand the panel column ids
+    index. Returns [nrb, BLOCK, S*BLOCK]; batch a multiple of 128."""
+    nrb = g.shape[0] // BLOCK
     batch = pv.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -309,13 +346,33 @@ def block_bwd_blocks_pallas_streaming(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * nrb * s_max * BLOCK * BLOCK * batch,
-            bytes_accessed=(nrb * s_max * BLOCK + 2 * layout.num_padded)
+            bytes_accessed=(nrb * s_max * BLOCK + nrb * BLOCK + pv.shape[0])
             * batch
             * pv.dtype.itemsize
             + nrb * BLOCK * s_max * BLOCK * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-    )(layout.block_col.reshape(-1), g, pv)
+    )(bc_flat, g, pv)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def block_bwd_blocks_pallas_streaming(
+    layout: BlockLayout,
+    g: jnp.ndarray,
+    pv: jnp.ndarray,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Panel cotangent bar_blocks [nrb, BLOCK, S*BLOCK] from cotangent g and
+    operand pv (both [Np, B] in permuted space, B a multiple of 128)."""
+    return bwd_blocks_call(
+        layout.block_col.reshape(-1),
+        g,
+        pv,
+        s_max=layout.max_blocks,
+        out_dtype=out_dtype,
+        interpret=interpret,
+    )
 
 
 def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
@@ -345,15 +402,19 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
         phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
         if phys <= _OPERAND_VMEM_BUDGET:
             return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
-        if pv.shape[1] % BLOCK == 0:
-            return block_matvec_pallas_streaming(layout, blocks, pv, interpret=interpret)
-        # Mosaic DMA slices need a 128-multiple lane (batch) dim; large
-        # operands with odd batch widths keep the einsum path (same numerics,
-        # operand gathered through HBM by XLA). Solvers that expect to hit
-        # the streaming regime should batch RHS in multiples of 128.
-        from .block_sparse import matvec_permuted
-
-        return matvec_permuted(layout, blocks, pv)
+        # Mosaic DMA slices need a 128-multiple lane (batch) dim: pad the RHS
+        # up to the lane width and slice the result, so batch-1 quad matvecs,
+        # 100-probe average_variance solves and odd-width Schur inner solves
+        # all ride the streaming kernel at large N (the lanes are
+        # physically occupied either way — padding costs one [Np, Bp] copy,
+        # not extra DMA lanes, while the einsum fallback re-materializes the
+        # full gathered operand through HBM).
+        b = pv.shape[1]
+        pad = -b % BLOCK
+        if pad:
+            pv = jnp.pad(pv, ((0, 0), (0, pad)))
+        out = block_matvec_pallas_streaming(layout, blocks, pv, interpret=interpret)
+        return out[:, :b] if pad else out
 
     @jax.custom_vjp
     def mv_pallas(blocks, pv):
@@ -367,10 +428,16 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
         g = g.astype(pv.dtype)
         bar_pv = run_kernel(blocks, g)
         phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
-        if phys > _OPERAND_VMEM_BUDGET and pv.shape[1] % BLOCK == 0:
+        if phys > _OPERAND_VMEM_BUDGET:
             # Large-N: fused panel-cotangent kernel (same operand-slice DMA
             # as the forward) instead of materializing the [nrb, S*128, B]
-            # gathered operand in HBM for an einsum.
+            # gathered operand in HBM for an einsum. Odd batch widths pad the
+            # lane dim like the forward; the zero columns contribute nothing
+            # to the per-panel outer products.
+            pad = -pv.shape[1] % BLOCK
+            if pad:
+                pv = jnp.pad(pv, ((0, 0), (0, pad)))
+                g = jnp.pad(g, ((0, 0), (0, pad)))
             bar_blocks = block_bwd_blocks_pallas_streaming(
                 layout, g, pv, out_dtype=blocks.dtype, interpret=interpret
             )

@@ -1,0 +1,400 @@
+"""Row-sharded fused block-ELL SpMV — the multi-chip hot path.
+
+Round 2's mesh path ran a per-column gather ``lax.scan`` over an all-gathered
+operand (parallel/spmv.py) — correctness-complete but ~70x off the fused
+single-chip kernel. This module puts the fused panel format ON the mesh:
+
+  * the global RCM block-ELL layout (ops.block_sparse.build_block_layout) is
+    built once; its row blocks are padded to a device-divisible count and the
+    panel buffer [nrb, BLOCK, S*BLOCK] is row-block-sharded across the mesh;
+  * panel ASSEMBLY is per-shard: each device scatters exactly the (directed)
+    edges and diagonals whose permuted row it owns, from the replicated
+    coefficient vectors (k/2 floats per node) — zero cross-device traffic;
+  * each MATVEC all-gathers the [rows, B] operand over ICI once (the same
+    schedule as the scan path) and runs the single-chip Pallas kernel (or the
+    portable block-gather einsum) on the LOCAL panels against the gathered
+    operand — the per-device work is identical to 1/ndev of the single-chip
+    fused matvec;
+  * one custom VJP wraps the whole shard_map matvec: bar_pv is one more
+    fused matvec (the globally-assembled operator is symmetric — both edge
+    directions plus the diagonal are scattered), bar_blocks is the per-shard
+    panel-cotangent kernel/einsum on local cotangent rows x gathered operand.
+
+Vectors live in *permuted padded row space* ([rows, B], RCM order, zero
+padding rows — the invariant subspace contract of ops.block_sparse); the
+kernel/model layer keeps its embeddings (y, masks, probes, one-hots) in this
+space via ``MeshBlockTables.row_of_node``, so the hot loop does ZERO
+per-matvec permutation gathers. Reference analogue: none (single device) —
+this is BASELINE.json's matvecs/s/chip north star applied to the mesh path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.block_sparse import BLOCK, BlockLayout, build_block_layout
+from ..ops.graph import SparseGraph
+from .mesh import NODE_AXIS
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshBlockTables:
+    """Static per-mesh block-ELL structure (host numpy + device-sharded)."""
+
+    mesh: Mesh
+    s_max: int
+    num_nodes: int
+    nrb: int  # device-divisible row-block count (>= layout's)
+    rows: int  # nrb * BLOCK — the padded permuted row space
+    block_col: jnp.ndarray  # [nrb, S] int32, row-block-sharded P(nodes)
+    # per-shard assembly tables, sharded P(nodes) on the leading dim:
+    edge_sel: jnp.ndarray  # [ndev, Emax] int32 edge id into triu (-1 pad)
+    edge_pos: jnp.ndarray  # [ndev, Emax] int32 local flat panel position
+    diag_sel: jnp.ndarray  # [ndev, Nmax] int32 node id (-1 pad)
+    diag_pos: jnp.ndarray  # [ndev, Nmax] int32 local flat panel position
+    # permuted-row-space maps (host numpy, static):
+    perm_np: np.ndarray  # [rows] node id at each row (0 on padding rows)
+    row_mask_np: np.ndarray  # [rows] 1.0 real row / 0.0 padding
+    row_of_node_np: np.ndarray  # [N] padded row index of each node
+    # device copies for traced indexing / masking:
+    row_of_node: jnp.ndarray  # [N] int32 (replicated)
+    row_mask: jnp.ndarray  # [rows, 1] f32, sharded P(nodes)
+    perm_rows: jnp.ndarray  # [rows] int32 = perm_np, sharded P(nodes)
+
+    @property
+    def ndev(self) -> int:
+        return self.mesh.devices.size
+
+    def node_sharding(self, ndim: int = 2) -> NamedSharding:
+        return NamedSharding(self.mesh, P(NODE_AXIS, *([None] * (ndim - 1))))
+
+    # -- permuted-space embedding helpers (host-side, construction-time) ----
+    def embed_rows(self, values: np.ndarray, node_idx=None, fill=0.0):
+        """[N(+idx)]-indexed host values -> [rows, ...] permuted padded array,
+        laid out row-sharded."""
+        values = np.asarray(values)
+        out = np.full((self.rows,) + values.shape[1:], fill, values.dtype)
+        rows = self.row_of_node_np if node_idx is None else self.row_of_node_np[node_idx]
+        out[rows] = values
+        return jax.device_put(out, self.node_sharding(out.ndim))
+
+    def gather_coeff(self, coeff: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
+        """Traced [N] per-node coefficient -> [rows] permuted padded vector
+        (fill on padding rows), row-sharded. Replicated-operand gather by a
+        static sharded index: each device gathers its rows locally."""
+        out = jnp.where(self.row_mask[:, 0] > 0, coeff[self.perm_rows], fill)
+        return jax.lax.with_sharding_constraint(out, self.node_sharding(1))
+
+
+def build_mesh_block_tables(
+    graph: SparseGraph, mesh: Mesh, max_blocks_cap: int = 40
+) -> Optional[MeshBlockTables]:
+    """Host-side construction. Returns None when the RCM-reordered graph is
+    not block-sparse enough (callers fall back to the ELL gather scan)."""
+    layout = build_block_layout(graph, max_blocks_cap=max_blocks_cap)
+    if layout is None:
+        return None
+    ndev = mesh.devices.size
+    n = graph.num_nodes
+    s_max = layout.max_blocks
+    nrb0 = layout.num_row_blocks
+    nrb = -(-nrb0 // ndev) * ndev
+    rows = nrb * BLOCK
+    lrb = nrb // ndev
+    lsize = lrb * BLOCK * s_max * BLOCK
+
+    bc = np.zeros((nrb, s_max), np.int32)
+    bc[:nrb0] = np.asarray(layout.block_col)
+    node_sh = NamedSharding(mesh, P(NODE_AXIS, None))
+    block_col = jax.device_put(bc, node_sh)
+
+    # --- per-shard assembly tables --------------------------------------
+    # build_block_layout's edge_flat covers both directed edge copies
+    # ([2M]: triu then its transpose — assemble scatters [-triu, -triu]);
+    # diag_flat covers the N node diagonals. Split both by owning device
+    # (flat // lsize, contiguous row-block sharding) into padded tables.
+    ef = np.asarray(layout.edge_flat, np.int64)
+    df = np.asarray(layout.diag_flat, np.int64)
+    m2 = ef.shape[0]
+    eid = np.arange(m2, dtype=np.int64) % (m2 // 2)  # edge id into triu
+    nid = np.arange(n, dtype=np.int64)
+
+    def split(flat, ids):
+        owner = flat // lsize
+        sel_rows, pos_rows = [], []
+        for d in range(ndev):
+            m = owner == d
+            sel_rows.append(ids[m])
+            pos_rows.append(flat[m] - d * lsize)
+        width = max(1, max(r.shape[0] for r in sel_rows))
+        sel = np.full((ndev, width), -1, np.int32)
+        # padding entries scatter 0.0 into the dummy slot ``lsize``
+        pos = np.full((ndev, width), lsize, np.int32)
+        for d in range(ndev):
+            sel[d, : sel_rows[d].shape[0]] = sel_rows[d]
+            pos[d, : pos_rows[d].shape[0]] = pos_rows[d]
+        return (
+            jax.device_put(sel, node_sh),
+            jax.device_put(pos, node_sh),
+        )
+
+    edge_sel, edge_pos = split(ef, eid)
+    diag_sel, diag_pos = split(df, nid)
+
+    # --- permuted-row-space maps -----------------------------------------
+    # layout.perm lists the node at each permuted row (padding rows clamped
+    # to node 0); layout.unperm is the inverse map node -> row.
+    perm_np = np.zeros(rows, np.int64)
+    perm_np[: layout.num_padded] = np.asarray(layout.perm)
+    row_of_node_np = np.asarray(layout.unperm, np.int64)  # [N] node -> row
+    row_mask_np = np.zeros(rows, np.float32)
+    row_mask_np[row_of_node_np] = 1.0
+
+    row_mask = jax.device_put(row_mask_np[:, None], node_sh)
+    return MeshBlockTables(
+        mesh=mesh,
+        s_max=s_max,
+        num_nodes=n,
+        nrb=int(nrb),
+        rows=int(rows),
+        block_col=block_col,
+        edge_sel=edge_sel,
+        edge_pos=edge_pos,
+        diag_sel=diag_sel,
+        diag_pos=diag_pos,
+        perm_np=perm_np,
+        row_mask_np=row_mask_np,
+        row_of_node_np=row_of_node_np,
+        row_of_node=jnp.asarray(row_of_node_np, jnp.int32),
+        row_mask=row_mask,
+        perm_rows=jax.device_put(
+            perm_np.astype(np.int32), NamedSharding(mesh, P(NODE_AXIS))
+        ),
+    )
+
+
+def assemble_sharded(
+    tables: MeshBlockTables, diag: jnp.ndarray, triu: jnp.ndarray, dtype=None
+):
+    """Scatter the current Laplacian coefficients (L = diag - A_sym) into the
+    row-block-sharded panel buffer [nrb, BLOCK, S*BLOCK]. Each device
+    scatters only its own rows' entries from the replicated coefficient
+    vectors; differentiable w.r.t. (diag, triu) through the gathers."""
+    lrb = tables.nrb // tables.ndev
+    lsize = lrb * BLOCK * tables.s_max * BLOCK
+    s_max = tables.s_max
+
+    def body(edge_sel, edge_pos, diag_sel, diag_pos, triu, diag):
+        # leading [1] shard axis from the [ndev, W] tables
+        edge_sel, edge_pos = edge_sel[0], edge_pos[0]
+        diag_sel, diag_pos = diag_sel[0], diag_pos[0]
+        ev = -triu[jnp.clip(edge_sel, 0)] * (edge_sel >= 0)
+        dv = diag[jnp.clip(diag_sel, 0)] * (diag_sel >= 0)
+        # dummy slot at lsize absorbs the padding entries; real positions are
+        # unique (edges mean-coalesced, diagonal slots never carry edges)
+        flat = jnp.zeros(lsize + 1, diag.dtype)
+        flat = flat.at[jnp.concatenate([edge_pos, diag_pos])].add(
+            jnp.concatenate([ev, dv]), mode="promise_in_bounds"
+        )
+        return flat[:lsize].reshape(lrb, BLOCK, s_max * BLOCK)
+
+    out = shard_map(
+        body,
+        mesh=tables.mesh,
+        in_specs=(
+            P(NODE_AXIS, None),
+            P(NODE_AXIS, None),
+            P(NODE_AXIS, None),
+            P(NODE_AXIS, None),
+            P(),
+            P(),
+        ),
+        out_specs=P(NODE_AXIS, None, None),
+    )(tables.edge_sel, tables.edge_pos, tables.diag_sel, tables.diag_pos, triu, diag)
+    return out if dtype is None else out.astype(dtype)
+
+
+# Same physical-VMEM residency budget as the single-chip dispatch
+# (ops.pallas_spmv): below it the gathered operand is pinned in VMEM, above
+# it the streaming kernel double-buffers DMA from HBM.
+from ..ops.pallas_spmv import (  # noqa: E402
+    _OPERAND_VMEM_BUDGET,
+    bwd_blocks_call,
+    resident_matvec_call,
+    stream_matvec_call,
+)
+
+
+def _local_matvec(tables, bc, blocks, pv_full, impl: str, interpret: bool):
+    """Local panels x full gathered operand -> local rows [lrb*BLOCK, B]."""
+    lrb = blocks.shape[0]
+    if impl == "einsum":
+        grouped = pv_full.reshape(tables.nrb, BLOCK, -1)
+        cb = grouped[bc].reshape(lrb, tables.s_max * BLOCK, -1)
+        if blocks.dtype == jnp.bfloat16:
+            out = jnp.einsum(
+                "rik,rkb->rib",
+                blocks,
+                cb.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            out = jnp.einsum("rik,rkb->rib", blocks, cb, precision=_HIGHEST)
+        return out.reshape(lrb * BLOCK, -1).astype(pv_full.dtype)
+    bc_flat = bc.reshape(-1)
+    phys = pv_full.shape[0] * max(pv_full.shape[1], BLOCK) * pv_full.dtype.itemsize
+    if phys <= _OPERAND_VMEM_BUDGET:
+        return resident_matvec_call(
+            bc_flat, blocks, pv_full, s_max=tables.s_max, interpret=interpret
+        )
+    b = pv_full.shape[1]
+    pad = -b % BLOCK
+    if pad:
+        pv_full = jnp.pad(pv_full, ((0, 0), (0, pad)))
+    out = stream_matvec_call(
+        bc_flat, blocks, pv_full, s_max=tables.s_max, interpret=interpret
+    )
+    return out[:, :b] if pad else out
+
+
+def _local_bwd_blocks(tables, bc, g, pv_full, out_dtype, impl: str, interpret: bool):
+    """Local panel cotangent: bar_blocks[r] = g_local[r] @ gathered_pv[r]^T."""
+    lrb = g.shape[0] // BLOCK
+    phys = pv_full.shape[0] * max(pv_full.shape[1], BLOCK) * pv_full.dtype.itemsize
+    if impl == "pallas" and phys > _OPERAND_VMEM_BUDGET:
+        pad = -pv_full.shape[1] % BLOCK
+        if pad:
+            pv_full = jnp.pad(pv_full, ((0, 0), (0, pad)))
+            g = jnp.pad(g, ((0, 0), (0, pad)))
+        return bwd_blocks_call(
+            bc.reshape(-1),
+            g,
+            pv_full,
+            s_max=tables.s_max,
+            out_dtype=out_dtype,
+            interpret=interpret,
+        )
+    grouped = pv_full.reshape(tables.nrb, BLOCK, -1)
+    cb = grouped[bc].reshape(lrb, tables.s_max * BLOCK, -1)
+    gg = g.reshape(lrb, BLOCK, -1)
+    if out_dtype == jnp.bfloat16:
+        bar = jnp.einsum(
+            "rib,rkb->rik",
+            gg.astype(jnp.bfloat16),
+            cb.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        bar = jnp.einsum("rib,rkb->rik", gg, cb, precision=_HIGHEST)
+    return bar.astype(out_dtype)
+
+
+def make_sharded_block_matvec_ad(
+    tables: MeshBlockTables, impl: str = "einsum", interpret: bool = False
+):
+    """Differentiable row-sharded fused matvec: (blocks, pv) -> L_sym @ pv in
+    permuted padded row space ([rows, B] -> [rows, B], both row-sharded).
+
+    The custom VJP mirrors ops.pallas_spmv.make_matvec_ad at the GLOBAL
+    operator level: bar_pv = L_sym @ g (one more sharded fused matvec —
+    symmetry of the globally-assembled panels), bar_blocks = the per-shard
+    panel cotangent on (local g rows) x (all-gathered pv). Defining the VJP
+    outside shard_map keeps the symmetric-adjoint trick valid (a local row
+    slice of L_sym is NOT symmetric on its own).
+    """
+    mesh = tables.mesh
+
+    def primal(blocks, pv):
+        def body(bc, blk, pvb):
+            pv_full = jax.lax.all_gather(pvb, NODE_AXIS, axis=0, tiled=True)
+            return _local_matvec(tables, bc, blk, pv_full, impl, interpret)
+
+        # check_vma=False: pallas_call's out_shape carries no vma typing,
+        # which the jax>=0.8 shard_map checker would reject.
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(NODE_AXIS, None), P(NODE_AXIS, None, None), P(NODE_AXIS, None)),
+            out_specs=P(NODE_AXIS, None),
+            check_vma=False,
+        )(tables.block_col, blocks, pv)
+
+    def bwd_blocks(g, pv, out_dtype):
+        def body(bc, gb, pvb):
+            pv_full = jax.lax.all_gather(pvb, NODE_AXIS, axis=0, tiled=True)
+            return _local_bwd_blocks(tables, bc, gb, pv_full, out_dtype, impl, interpret)
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(NODE_AXIS, None), P(NODE_AXIS, None), P(NODE_AXIS, None)),
+            out_specs=P(NODE_AXIS, None, None),
+            check_vma=False,
+        )(tables.block_col, g, pv)
+
+    @jax.custom_vjp
+    def mv(blocks, pv):
+        return primal(blocks, pv)
+
+    def fwd(blocks, pv):
+        return mv(blocks, pv), (blocks, pv)
+
+    def bwd(res, g):
+        blocks, pv = res
+        g = g.astype(pv.dtype)
+        bar_pv = primal(blocks, g)
+        bar_blocks = bwd_blocks(g, pv, blocks.dtype)
+        return bar_blocks, bar_pv
+
+    mv.defvjp(fwd, bwd)
+    return mv
+
+
+def make_sharded_matern_precision_matvec_fused(
+    tables: MeshBlockTables,
+    coeffs,
+    nu: int,
+    lengthscale,
+    normalization: str = "randomwalk",
+    dtype=None,
+    impl: str = "einsum",
+    interpret: bool = False,
+):
+    """Row-sharded fused Matérn precision matvec over permuted padded rows.
+
+    Same telescoped form as the single-chip fused block path (ops/matern.py):
+    Q = D^{1/2} (2 nu/l^2 I + L_sym)^nu D^{1/2} (randomwalk; symmetric drops
+    the D factors), with the shift scattered into the panel diagonal once per
+    coefficient change so each of the nu inner applications is ONE bare
+    sharded fused matvec. Vectors: [rows, B], zero padding rows (padding
+    degree fill 1.0 keeps the sqrt/mul a no-op there).
+    """
+    shift = 2.0 * nu / jnp.square(jnp.reshape(lengthscale, ()))
+    qblocks = assemble_sharded(tables, coeffs.diag + shift, coeffs.triu, dtype=dtype)
+    mv_ad = make_sharded_block_matvec_ad(tables, impl=impl, interpret=interpret)
+    dsq_p = jnp.sqrt(tables.gather_coeff(coeffs.deg, fill=1.0))
+    sharding = tables.node_sharding(2)
+
+    def matvec(v):
+        squeeze = v.ndim == 1
+        out = v[:, None] if squeeze else v
+        out = jax.lax.with_sharding_constraint(out, sharding)
+        if normalization == "randomwalk":
+            out = out * dsq_p[:, None]
+        for _ in range(nu):
+            out = mv_ad(qblocks, out)
+        if normalization == "randomwalk":
+            out = out * dsq_p[:, None]
+        return out[:, 0] if squeeze else out
+
+    return matvec
