@@ -120,7 +120,12 @@ def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32"):
     return matvecs / dt
 
 
-def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size):
+def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
+                  dtype="float32", force_scan=False):
+    """Row-sharded CG throughput. Rides the fused block-ELL mesh path
+    (parallel/block_spmv: sharded panels + Pallas kernel / block einsum on
+    the all-gathered operand) whenever the layout builds; ``force_scan``
+    pins the round-2 per-column gather scan for comparison."""
     import jax
     import jax.numpy as jnp
 
@@ -132,6 +137,10 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size):
         make_sharded_matern_precision_matvec,
         pad_nodes,
     )
+    from manifold_gp_tpu.parallel.block_spmv import (
+        build_mesh_block_tables,
+        make_sharded_matern_precision_matvec_fused,
+    )
 
     devices = jax.devices()
     if len(devices) < mesh_size:
@@ -139,12 +148,34 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size):
     assert len(devices) >= mesh_size, f"need {mesh_size} devices"
     mesh = make_mesh(mesh_size, devices=devices)
     coeffs = laplacian_coeffs(graph, eps)
-    mv, n_pad = make_sharded_matern_precision_matvec(
-        graph, mesh, coeffs, nu, ls, "randomwalk"
-    )
+    rng = np.random.default_rng(1)
+    b_host = rng.standard_normal((graph.num_nodes, batch)).astype(np.float32)
+
+    tables = None if force_scan else build_mesh_block_tables(graph, mesh)
+    if tables is not None:
+        impl = "pallas" if devices[0].platform == "tpu" else "einsum"
+        panel_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+        mv = make_sharded_matern_precision_matvec_fused(
+            tables, coeffs, nu, ls, "randomwalk", dtype=panel_dtype, impl=impl
+        )
+        n_pad = tables.rows
+        b = tables.embed_rows(b_host)
+        desc = f"fused(S={tables.s_max}, impl={impl}, dtype={dtype})"
+    else:
+        mv, n_pad = make_sharded_matern_precision_matvec(
+            graph, mesh, coeffs, nu, ls, "randomwalk"
+        )
+        b = pad_nodes(
+            np.concatenate(
+                [b_host, np.zeros((n_pad - graph.num_nodes, batch), np.float32)]
+            ),
+            n_pad,
+            mesh,
+        )
+        desc = "ell-scan(float32)"
     print(
         f"# sharded: N={graph.num_nodes} padded={n_pad} mesh={mesh_size}x"
-        f"{devices[0].platform}",
+        f"{devices[0].platform} path={desc}",
         file=sys.stderr,
     )
 
@@ -152,12 +183,6 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size):
     def run_cg(b):
         return cg_raw(mv, b, tol=0.0, max_iter=cg_iters)
 
-    rng = np.random.default_rng(1)
-    b_host = np.zeros((n_pad, batch), np.float32)
-    b_host[: graph.num_nodes] = rng.standard_normal(
-        (graph.num_nodes, batch)
-    ).astype(np.float32)
-    b = pad_nodes(b_host, n_pad, mesh)
     x = run_cg(b)
     float(x[0, 0])
     reps = 2
@@ -289,6 +314,9 @@ def main():
     ap.add_argument("--ls", type=float, default=1.0)
     ap.add_argument("--mesh", type=int, default=0,
                     help="row-shard over this many devices (0 = single)")
+    ap.add_argument("--mesh-scan", action="store_true",
+                    help="with --mesh: force the round-2 per-column gather "
+                         "scan instead of the fused block-ELL mesh path")
     ap.add_argument("--basis", type=int, default=0,
                     help="instead of CG: time LOBPCG basis extraction of "
                          "this many modes")
@@ -333,7 +361,8 @@ def main():
         return
     if args.mesh:
         rate = bench_sharded(
-            graph, eps, args.nu, args.ls, args.batch, args.cg_iters, args.mesh
+            graph, eps, args.nu, args.ls, args.batch, args.cg_iters, args.mesh,
+            dtype=args.dtype, force_scan=args.mesh_scan,
         )
         label = f"sharded_cg_matvecs_per_s_mesh{args.mesh}"
     else:

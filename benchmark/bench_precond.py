@@ -30,6 +30,11 @@ def main():
                     help="graph bandwidth (default: 0.5x median kNN distance — small enough to expose the density spread)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--logdet", action="store_true",
+                    help="instead of CG iterations: SLQ logdet accuracy vs "
+                         "an f64 oracle — plain quadrature vs the mBCG "
+                         "preconditioned quadrature (caps --n at 2000 for "
+                         "the dense oracle)")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +50,9 @@ def main():
         matern_precision_diag,
     )
     from manifold_gp_tpu.ops.sparse_formats import build_layout, permute_in
+
+    if args.logdet:
+        return bench_logdet(args)
 
     rng = np.random.default_rng(0)
     # Mixed-density clusters (per-cluster noise scales 0.1..0.8): sampling
@@ -117,6 +125,91 @@ def main():
             }
         )
     )
+
+
+def bench_logdet(args):
+    """SLQ logdet accuracy at the default Lanczos depth on an ill-conditioned
+    noisy Matérn precision (1D chain, small eps, nu=3 — VERDICT r2 item 7's
+    regime): plain Hutchinson+Lanczos quadrature vs the mBCG preconditioned
+    quadrature (probes from M, PCG-coefficient T, logdet(M) correction)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu.ops.graph import build_graph
+    from manifold_gp_tpu.ops.laplacian import laplacian_coeffs
+    from manifold_gp_tpu.ops.matern import (
+        make_matern_precision_matvec,
+        make_noisy_matvec,
+        matern_precision_diag,
+        noisy_scaled_diag,
+    )
+    from manifold_gp_tpu.ops.pivchol import DiagPrecond, make_pivchol_precond
+    from manifold_gp_tpu.ops.slq import (
+        rademacher_probes,
+        slq_logdet,
+        slq_logdet_mbcg,
+    )
+
+    n = min(args.n, 2000)  # f64 dense-oracle budget
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 2 * np.pi, n))
+    x = np.stack([np.cos(t), np.sin(t)], 1).astype(np.float32)
+    graph = build_graph(x, 6)
+    eps = args.eps if args.eps is not None else 0.02
+    nu, s2 = args.nu, 1e-2
+    c = laplacian_coeffs(graph, eps)
+    mv = make_noisy_matvec(
+        make_matern_precision_matvec(graph, c, nu, 1.0, "randomwalk"), s2
+    )
+    d = noisy_scaled_diag(
+        matern_precision_diag(graph, c, nu, 1.0, "randomwalk"), noise=s2
+    )
+
+    # f64 oracle from the same coefficients
+    rows, cols = np.asarray(graph.rows), np.asarray(graph.cols)
+    a = np.zeros((n, n))
+    a[rows, cols] = np.asarray(c.triu, np.float64)
+    a[cols, rows] = np.asarray(c.triu, np.float64)
+    lap = np.diag(np.asarray(c.diag, np.float64)) - a
+    b = (2.0 * nu) * np.eye(n) + lap
+    q = b
+    for _ in range(nu - 1):
+        q = q @ b
+    d12 = np.sqrt(np.asarray(c.deg, np.float64))
+    q = d12[:, None] * q * d12[None, :]
+    dense = q - s2 * q @ q + s2 * s2 * q @ q @ q
+    _, ld_exact = np.linalg.slogdet(dense)
+    cond = np.linalg.cond(dense)
+    print(f"# N={n} eps={eps} nu={nu} cond={cond:.2e} logdet={ld_exact:.1f}",
+          file=sys.stderr)
+
+    key = jax.random.PRNGKey(5)
+    probes, steps = 64, 96
+    z = rademacher_probes(key, n, probes)
+    ld_plain = float(slq_logdet(mv, z, steps, cg_tol=1e-2, cg_max_iter=2000))
+    ld_jac = float(slq_logdet_mbcg(mv, DiagPrecond(d=d), key, probes, steps))
+    pp = make_pivchol_precond(mv, d, 15)
+    ld_piv = float(slq_logdet_mbcg(mv, pp, key, probes, steps))
+
+    def rel(v):
+        return abs(v - ld_exact) / abs(ld_exact) if np.isfinite(v) else None
+
+    for name, v in (("plain", ld_plain), ("mbcg-jacobi", ld_jac),
+                    ("mbcg-pivchol", ld_piv)):
+        r = rel(v)
+        print(f"# {name}: logdet {v:.1f} rel-err "
+              f"{'nan' if r is None else f'{r:.2e}'}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "slq_logdet_rel_error",
+        "value": rel(ld_jac),
+        "unit": "relative error (mbcg-jacobi quadrature)",
+        "rel_err_plain": rel(ld_plain),
+        "rel_err_mbcg_pivchol": rel(ld_piv),
+        "condition_number": float(cond),
+        "n": n, "eps": eps, "nu": nu,
+        "probes": probes, "lanczos_steps": steps,
+    }))
 
 
 if __name__ == "__main__":

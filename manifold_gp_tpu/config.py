@@ -69,12 +69,25 @@ class InferenceConfig:
     # graph; trained-hyperparameter drift <2% over 10 epochs — pinned by
     # tests/test_bf16_solve.py).
     spmv_dtype: str = "float32"
-    # Jacobi-precondition every CG solve (the Schur inner solve, engine
-    # solves, and the SLQ gradient solves) with the composed operator's
-    # (approximate) diagonal — the precision-form analogue of GPyTorch
-    # mBCG's default pivoted-Cholesky preconditioning. Never changes
-    # solutions, only iteration counts.
+    # Precondition every CG solve (the Schur inner solve, engine solves, and
+    # the SLQ gradient solves) with the composed operator's preconditioner.
+    # Never changes solutions, only iteration counts.
     cg_precondition: bool = True
+    # Preconditioner family (ops.pivchol): "jacobi" = diag(Q) (the natural
+    # precision-form default — diagonals are cheaply computable), "pivchol" =
+    # rank-r partial pivoted Cholesky M = L L' + diag(residual) (GPyTorch's
+    # AddedDiag preconditioner, built from r one-hot matvecs per step),
+    # "none".
+    precond_type: str = "jacobi"
+    # pivchol rank; GPyTorch settings.max_preconditioner_size default.
+    precond_rank: int = 15
+    # Full mBCG logdet semantics: draw SLQ probes from the preconditioner
+    # (E[zz'] = M), run the PCG-coefficient quadrature on M^{-1/2} Q M^{-1/2}
+    # and add the logdet(M) correction (ops.slq.slq_logdet_mbcg). GPyTorch
+    # does this whenever a preconditioner exists; off reproduces the plain
+    # Hutchinson+Lanczos path (which is what the reference's own *training*
+    # operator gets — its custom LinearOperator stack has no preconditioner).
+    slq_precond_quadrature: bool = False
     # Block-SpMV kernel implementation: "pallas" (fused Mosaic kernel, VMEM
     # -resident operand, differentiable via ops.pallas_spmv.make_matvec_ad),
     # "einsum" (portable XLA path, identical numerics), or "auto" (pallas on

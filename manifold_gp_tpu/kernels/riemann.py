@@ -98,8 +98,8 @@ class RiemannKernel:
         # (see ops.sparse_formats) — falling back to the ELL gather scan.
         self.use_dense_operator = self.graph.num_nodes <= cfg.dense_operator_max_size
         self.block_layout = None
-        # (mesh kernels use the row-sharded ELL tables instead of a fused
-        # single-chip layout — skip the host-side RCM/layout build.)
+        # (mesh kernels build their own row-block-sharded fused layout below
+        # — skip the single-chip RCM/layout build.)
         if not self.use_dense_operator and cfg.use_block_sparse and mesh is None:
             from ..ops.sparse_formats import build_layout
 
@@ -117,21 +117,60 @@ class RiemannKernel:
             self.use_pallas = _jax.devices()[0].platform == "tpu"
         else:
             self.use_pallas = cfg.spmv_kernel == "pallas"
-        # Multi-chip: row-shard the (static) ELL tables over the mesh once;
-        # precision_matvec then runs the shard_map SpMV (parallel/spmv.py)
-        # and the whole training loss lives in padded row-sharded space
+        # Multi-chip: the preferred path row-block-shards the FUSED RCM
+        # block-ELL layout over the mesh (parallel/block_spmv.py) so every
+        # mesh matvec runs the same Pallas kernel / block einsum as one chip;
+        # graphs that are not block-sparse enough fall back to the row-sharded
+        # ELL gather scan (parallel/spmv.py). Either way the whole training
+        # loss lives in a padded row-sharded vector space whose node->row map
+        # the model reads through mesh_rows_np / embed_mesh_coeff
         # (models/riemann_gp.py handles the padded quad/SLQ/Schur forms).
         self.mesh = mesh
         self._sharded_tables = None
+        self._mesh_fused = None
         if mesh is not None:
-            from ..parallel.spmv import shard_graph_rows
+            if cfg.use_block_sparse:
+                from ..parallel.block_spmv import build_mesh_block_tables
 
-            self._sharded_tables = shard_graph_rows(self.graph, mesh)
+                self._mesh_fused = build_mesh_block_tables(self.graph, mesh)
+            if self._mesh_fused is None:
+                from ..parallel.spmv import shard_graph_rows
+
+                self._sharded_tables = shard_graph_rows(self.graph, mesh)
 
     @property
     def n_padded(self) -> int:
-        """Padded node count of the row-sharded space (mesh kernels only)."""
-        return self._sharded_tables[3] if self.mesh is not None else self.graph.num_nodes
+        """Padded row count of the row-sharded vector space (mesh kernels)."""
+        if self.mesh is None:
+            return self.graph.num_nodes
+        if self._mesh_fused is not None:
+            return self._mesh_fused.rows
+        return self._sharded_tables[3]
+
+    @property
+    def mesh_rows_np(self):
+        """Host map node id -> padded row index of the mesh vector space
+        (RCM position on the fused path; identity on the scan path)."""
+        import numpy as _np
+
+        if self._mesh_fused is not None:
+            return self._mesh_fused.row_of_node_np
+        return _np.arange(self.graph.num_nodes)
+
+    @property
+    def mesh_rows(self):
+        """Device copy of ``mesh_rows_np`` (for traced node indices)."""
+        if self._mesh_fused is not None:
+            return self._mesh_fused.row_of_node
+        return jnp.arange(self.graph.num_nodes, dtype=jnp.int32)
+
+    def embed_mesh_coeff(self, d, fill: float = 0.0):
+        """[N] per-node coefficient -> [n_padded] mesh vector-space embedding
+        (``fill`` on padding rows)."""
+        if self._mesh_fused is not None:
+            return self._mesh_fused.gather_coeff(d, fill=fill)
+        pad = self.n_padded - d.shape[0]
+        return jnp.pad(d, (0, pad), constant_values=fill)
 
     # -- parameters --------------------------------------------------------
     def init_params(self, graphbandwidth=None, lengthscale=None) -> dict:
@@ -277,35 +316,63 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
     n = kernel.graph.num_nodes
     m = min(kernel.num_modes, n)
     if kernel.mesh is not None:
-        # Row-sharded spectral basis: block LOBPCG over the shard_map SpMV.
-        # The padded rows are pinned at the Gershgorin bound (the top of the
-        # shifted spectrum), so they can never displace the smallest-m true
-        # eigenpairs; every [m, m] reduction inside lobpcg_standard psum's
-        # across the mesh under GSPMD. Replaces the reference's
-        # single-device ``diagonalization``
+        # Row-sharded spectral basis: block LOBPCG over the sharded SpMV —
+        # the fused row-block-sharded panel kernel when the layout exists,
+        # the ELL gather scan otherwise. The padded rows are pinned at the
+        # Gershgorin bound (the top of the shifted spectrum), so they can
+        # never displace the smallest-m true eigenpairs; every [m, m]
+        # reduction inside lobpcg_standard psum's across the mesh under
+        # GSPMD. Replaces the reference's single-device ``diagonalization``
         # (graph_laplacian_operator.py:132-144) at multi-chip scale.
-        from ..parallel.spmv import sharded_adjacency_matvec
-
-        tables = kernel._sharded_tables
-        npad = tables[3]
-        pad = npad - n
         bound = gershgorin_bound(kernel.graph, c)
-        diag_p = jnp.pad(c.diag, (0, pad))
-        mask = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad))[:, None]
-
-        def lap_mv_pad(v):
-            av = sharded_adjacency_matvec(
-                tables[0], tables[1], tables[2], c.triu, v, kernel.mesh
+        if kernel._mesh_fused is not None:
+            from ..parallel.block_spmv import (
+                assemble_sharded,
+                make_sharded_block_matvec_ad,
             )
-            lv = diag_p[:, None] * v - av
-            return mask * lv + bound * (1.0 - mask) * v
+
+            tables = kernel._mesh_fused
+            npad = tables.rows
+            mask = tables.row_mask  # [rows, 1]
+            # f32 panels regardless of spmv_dtype: resolving eigenvalues
+            # clustered near zero needs full matvec precision, and the basis
+            # solve runs once per eval (same policy as the single-chip path
+            # below).
+            blocks = assemble_sharded(tables, c.diag, c.triu)
+            mv = make_sharded_block_matvec_ad(
+                tables, impl="pallas" if kernel.use_pallas else "einsum"
+            )
+
+            def lap_mv_pad(v):
+                return mask * mv(blocks, v) + bound * (1.0 - mask) * v
+
+            unpermute_rows = tables.row_of_node
+        else:
+            from ..parallel.spmv import sharded_adjacency_matvec
+
+            tables = kernel._sharded_tables
+            npad = tables[3]
+            pad = npad - n
+            diag_p = jnp.pad(c.diag, (0, pad))
+            mask = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad))[:, None]
+
+            def lap_mv_pad(v):
+                av = sharded_adjacency_matvec(
+                    tables[0], tables[1], tables[2], c.triu, v, kernel.mesh
+                )
+                lv = diag_p[:, None] * v - av
+                return mask * lv + bound * (1.0 - mask) * v
+
+            unpermute_rows = None
 
         x0 = jax.random.normal(jax.random.PRNGKey(0), (npad, m), jnp.float32)
         x0 = x0 * mask
         eigval, eigvec = lobpcg_smallest(
             lap_mv_pad, x0, bound, max_iter=kernel.cfg.eigensolver_max_iter
         )
-        eigvec = eigvec[:n]
+        # back to node order: gather the true rows (identity prefix on the
+        # scan path; RCM positions on the fused path)
+        eigvec = eigvec[:n] if unpermute_rows is None else eigvec[unpermute_rows]
     elif n <= kernel.cfg.eigh_max_size:
         # Small-N exact path: dense symmetric eigh, like reference eval()
         # (riemann_kernel.py:121-124).
@@ -384,6 +451,22 @@ class RiemannMaternKernel(RiemannKernel):
         unchanged)."""
         c = self.coeffs(params) if coeffs is None else coeffs
         if self.mesh is not None:
+            if self._mesh_fused is not None:
+                from ..parallel.block_spmv import (
+                    make_sharded_matern_precision_matvec_fused,
+                )
+
+                return make_sharded_matern_precision_matvec_fused(
+                    self._mesh_fused,
+                    c,
+                    self.nu,
+                    self.lengthscale(params),
+                    self.laplacian_normalization,
+                    dtype=(
+                        jnp.bfloat16 if self.cfg.spmv_dtype == "bfloat16" else None
+                    ),
+                    impl="pallas" if self.use_pallas else "einsum",
+                )
             from ..parallel.spmv import make_sharded_matern_precision_matvec
 
             mv, _ = make_sharded_matern_precision_matvec(

@@ -90,25 +90,28 @@ class RiemannGP:
             np.array_equal(np.asarray(self.train_x), np.asarray(kernel.x))
         )
         # Mesh kernels: the training loss runs in the padded row-sharded
-        # space (kernel.n_padded rows, zero padding). Precompute the static
-        # embeddings: y at its support rows, 0/1 labeled/unlabeled masks.
+        # vector space (kernel.n_padded rows, zero padding; RCM-permuted on
+        # the fused path — kernel.mesh_rows_np maps node id -> row).
+        # Precompute the static embeddings: y at its support rows, 0/1
+        # labeled/unlabeled masks.
         self.mesh = getattr(kernel, "mesh", None)
         if self.mesh is not None:
             npad = kernel.n_padded
             n_nodes = kernel.graph.num_nodes
+            rows_of = kernel.mesh_rows_np
             support = (
                 np.flatnonzero(self.labeled)
                 if self.labeled is not None
                 else np.arange(n_nodes)
             )
-            self._support_pad = jnp.asarray(support, jnp.int32)
+            self._support_pad = jnp.asarray(rows_of[support], jnp.int32)
             y_pad = np.zeros(npad, np.float32)
-            y_pad[support] = np.asarray(self.train_y)
+            y_pad[rows_of[support]] = np.asarray(self.train_y)
             mask_l = np.zeros(npad, np.float32)
-            mask_l[support] = 1.0
+            mask_l[rows_of[support]] = 1.0
             mask_u = np.zeros(npad, np.float32)
             if self.labeled is not None:
-                mask_u[np.flatnonzero(~self.labeled)] = 1.0
+                mask_u[rows_of[np.flatnonzero(~self.labeled)]] = 1.0
             from ..parallel.spmv import pad_nodes
 
             self._y_pad = pad_nodes(y_pad, npad, self.mesh)
@@ -226,8 +229,7 @@ class RiemannGP:
         """diag(Q) embedded in the padded row-sharded space (1.0 padding so
         Jacobi division is a no-op off the true rows)."""
         d = self.kernel.precision_diag(params, coeffs=coeffs)
-        pad = self.kernel.n_padded - d.shape[0]
-        return jnp.pad(d, (0, pad), constant_values=1.0)
+        return self.kernel.embed_mesh_coeff(d, fill=1.0)
 
     def _mll_loss_sharded(self, params, key=None):
         """Precision-form MLL on the row-sharded mesh path. Identical math to
@@ -246,12 +248,39 @@ class RiemannGP:
         support = self._support_pad
         if n <= cfg.max_cholesky:
             npad = self.kernel.n_padded
-            eye_emb = (
-                jnp.zeros((npad, n), jnp.float32)
-                .at[support, jnp.arange(n)]
-                .set(1.0)
-            )
-            dense = mv(eye_emb)[support]
+            # Densify the support block in column chunks: a single embedded
+            # [npad, n] identity is 3.2 GB at npad=1M / n=800, while chunks
+            # are sequenced by lax.map so only one [npad, 128] one-hot batch
+            # is live at a time. Single batch when it is small anyway.
+            chunk = 128
+            if npad * n * 4 <= 2**28 or n <= chunk:
+                eye_emb = (
+                    jnp.zeros((npad, n), jnp.float32)
+                    .at[support, jnp.arange(n)]
+                    .set(1.0)
+                )
+                dense = mv(eye_emb)[support]
+            else:
+                nch = -(-n // chunk)
+                pad = nch * chunk - n
+                rows = jnp.concatenate(
+                    [support, jnp.zeros((pad,), support.dtype)]
+                ).reshape(nch, chunk)
+                valid = jnp.concatenate(
+                    [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+                ).reshape(nch, chunk)
+
+                def one_chunk(args):
+                    r, w = args
+                    rhs = (
+                        jnp.zeros((npad, chunk), jnp.float32)
+                        .at[r, jnp.arange(chunk)]
+                        .set(w)
+                    )
+                    return mv(rhs)[support]
+
+                cols = jax.lax.map(one_chunk, (rows, valid))  # [nch, n, chunk]
+                dense = jnp.moveaxis(cols, 0, 1).reshape(n, nch * chunk)[:, :n]
             ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(dense))))
         else:
             assert key is not None, "stochastic logdet needs a PRNG key"
@@ -281,12 +310,25 @@ class RiemannGP:
             loss = loss - jnp.sum(prior.log_prob(value_fn(params)))
         return loss / n
 
-    def precision_precond(self, params, noise: bool = True, coeffs=None):
-        """Jacobi M^{-1} for the composed precision operator: diag(Q) pushed
-        through the Scale/Noise wrappers ((approximate) Schur: labeled-block
-        restriction). None when cfg.cg_precondition is off."""
-        if not self.cfg.cg_precondition:
+    def precision_precond_obj(
+        self, params, noise: bool = True, coeffs=None, matvec=None
+    ):
+        """Preconditioner OBJECT (ops.pivchol protocol: apply / sample /
+        logdet) for the composed precision operator, per cfg.precond_type:
+
+          * "jacobi": diag(Q) pushed through the Scale/Noise wrappers
+            ((approximate) Schur: labeled-block restriction);
+          * "pivchol": rank-r partial pivoted Cholesky of the composed
+            operator itself (requires ``matvec``), residual-diagonal form —
+            GPyTorch's AddedDiag preconditioner semantics.
+
+        None when cfg.cg_precondition is off or precond_type == "none".
+        """
+        cfg = self.cfg
+        if not cfg.cg_precondition or cfg.precond_type == "none":
             return None
+        from ..ops.pivchol import DiagPrecond, make_pivchol_precond
+
         d = self.kernel.precision_diag(params, coeffs=coeffs)
         if self.labeled is not None:
             d = d[jnp.asarray(self._labeled_idx)]
@@ -295,7 +337,18 @@ class RiemannGP:
             scale=self.outputscale(params) if self.use_outputscale else None,
             noise=self.noise(params) if noise else None,
         )
-        return make_jacobi_precond(d)
+        if cfg.precond_type == "pivchol" and matvec is not None:
+            return make_pivchol_precond(matvec, d, cfg.precond_rank)
+        return DiagPrecond(d=d)
+
+    def precision_precond(self, params, noise: bool = True, coeffs=None,
+                          matvec=None):
+        """M^{-1} apply-closure view of ``precision_precond_obj`` (the CG
+        hook). None when preconditioning is off."""
+        obj = self.precision_precond_obj(
+            params, noise=noise, coeffs=coeffs, matvec=matvec
+        )
+        return None if obj is None else obj.apply
 
     # -- training loss -----------------------------------------------------
     def mll_loss(self, params, key=None):
@@ -315,10 +368,33 @@ class RiemannGP:
         c = self.kernel.coeffs(params)
         mv = self.precision_matvec(params, noise=True, coeffs=c)
         quad = jnp.dot(y, mv(y[:, None])[:, 0], precision=_HIGHEST)
-        ld = engine.logdet(
-            mv, n, self.cfg, key=key,
-            precond=self.precision_precond(params, noise=True, coeffs=c),
+        pobj = self.precision_precond_obj(
+            params, noise=True, coeffs=c, matvec=mv
         )
+        if (
+            self.cfg.slq_precond_quadrature
+            and pobj is not None
+            and n > self.cfg.max_cholesky
+        ):
+            # Full mBCG semantics: probes from M, PCG-coefficient quadrature
+            # on M^{-1/2} Q M^{-1/2}, + logdet(M) correction (ops/slq.py).
+            assert key is not None, "stochastic logdet needs a PRNG key"
+            from ..ops.slq import slq_logdet_mbcg
+
+            ld = slq_logdet_mbcg(
+                mv,
+                pobj,
+                key,
+                self.cfg.num_probes,
+                self.cfg.lanczos_max_iter,
+                cg_tol=self.cfg.cg_tolerance,
+                cg_max_iter=self.cfg.cg_max_iter,
+            )
+        else:
+            ld = engine.logdet(
+                mv, n, self.cfg, key=key,
+                precond=None if pobj is None else pobj.apply,
+            )
         loss = 0.5 * (quad - ld + n * jnp.log(2.0 * jnp.pi))
         for _, prior, value_fn in self.kernel.priors():
             loss = loss - jnp.sum(prior.log_prob(value_fn(params)))
@@ -340,9 +416,10 @@ class RiemannGP:
                 assert key is not None
                 idx = jax.random.randint(key, (num_rand_vec,), 0, nn)
                 denom = num_rand_vec
+            rows = self.kernel.mesh_rows[idx]  # node id -> padded row
             rhs = (
                 jnp.zeros((npad, idx.shape[0]), jnp.float32)
-                .at[idx, jnp.arange(idx.shape[0])]
+                .at[rows, jnp.arange(idx.shape[0])]
                 .set(1.0)
             )
             precond = (

@@ -70,6 +70,13 @@ class MeshBlockTables:
     row_of_node: jnp.ndarray  # [N] int32 (replicated)
     row_mask: jnp.ndarray  # [rows, 1] f32, sharded P(nodes)
     perm_rows: jnp.ndarray  # [rows] int32 = perm_np, sharded P(nodes)
+    # Halo width in column BLOCKs: every device's needed column blocks lie
+    # within (modular) distance ``halo`` of its own row-block range, so the
+    # operand exchange is one ppermute of halo*BLOCK rows from each ring
+    # neighbor instead of the full all-gather — 2*halo*BLOCK*B bytes over
+    # ICI per matvec vs (ndev-1)/ndev * rows*B. None when some device needs
+    # columns beyond its immediate neighbors (fall back to all-gather).
+    halo: Optional[int] = None
 
     @property
     def ndev(self) -> int:
@@ -160,6 +167,35 @@ def build_mesh_block_tables(
     row_mask_np = np.zeros(rows, np.float32)
     row_mask_np[row_of_node_np] = 1.0
 
+    # --- halo width -------------------------------------------------------
+    # Minimal H (in column blocks) such that every device's needed blocks
+    # sit within modular distance H of its own [d*lrb, (d+1)*lrb) range.
+    # For RCM-banded manifold graphs H ~ ceil(bandwidth/BLOCK) + 1, tiny vs
+    # lrb; clustered graphs whose columns reach beyond the ring neighbors
+    # (H > lrb) fall back to the all-gather exchange.
+    halo = 0
+    # unused slots of short rows point at block 0 with zero panel columns;
+    # exclude them from the need-set of devices other than block 0's owner
+    # by masking with the per-row used-slot count.
+    used = np.zeros((nrb, s_max), bool)
+    used[:nrb0] = True
+    for i in range(nrb0):
+        cs = bc[i]
+        # slots are sorted unique; trailing repeats of the pad value 0 only
+        # occur after slot 0 when the row has fewer used slots
+        nz = np.count_nonzero(np.diff(cs) > 0) + 1
+        used[i, nz:] = False
+    for d in range(ndev):
+        own_lo, own_hi = d * lrb, (d + 1) * lrb - 1
+        needed = np.unique(bc[own_lo : own_hi + 1][used[own_lo : own_hi + 1]])
+        for b in needed:
+            if own_lo <= b <= own_hi:
+                continue
+            left = (own_lo - b) % nrb
+            right = (b - own_hi) % nrb
+            halo = max(halo, int(min(left, right)))
+    halo_opt = halo if halo <= lrb else None
+
     row_mask = jax.device_put(row_mask_np[:, None], node_sh)
     return MeshBlockTables(
         mesh=mesh,
@@ -180,6 +216,7 @@ def build_mesh_block_tables(
         perm_rows=jax.device_put(
             perm_np.astype(np.int32), NamedSharding(mesh, P(NODE_AXIS))
         ),
+        halo=halo_opt,
     )
 
 
@@ -239,7 +276,7 @@ def _local_matvec(tables, bc, blocks, pv_full, impl: str, interpret: bool):
     """Local panels x full gathered operand -> local rows [lrb*BLOCK, B]."""
     lrb = blocks.shape[0]
     if impl == "einsum":
-        grouped = pv_full.reshape(tables.nrb, BLOCK, -1)
+        grouped = pv_full.reshape(pv_full.shape[0] // BLOCK, BLOCK, -1)
         cb = grouped[bc].reshape(lrb, tables.s_max * BLOCK, -1)
         if blocks.dtype == jnp.bfloat16:
             out = jnp.einsum(
@@ -284,7 +321,7 @@ def _local_bwd_blocks(tables, bc, g, pv_full, out_dtype, impl: str, interpret: b
             out_dtype=out_dtype,
             interpret=interpret,
         )
-    grouped = pv_full.reshape(tables.nrb, BLOCK, -1)
+    grouped = pv_full.reshape(pv_full.shape[0] // BLOCK, BLOCK, -1)
     cb = grouped[bc].reshape(lrb, tables.s_max * BLOCK, -1)
     gg = g.reshape(lrb, BLOCK, -1)
     if out_dtype == jnp.bfloat16:
@@ -299,8 +336,46 @@ def _local_bwd_blocks(tables, bc, g, pv_full, out_dtype, impl: str, interpret: b
     return bar.astype(out_dtype)
 
 
+def _exchange(tables: MeshBlockTables, pvb, bc, force_gather: bool):
+    """Operand exchange inside the shard_map body: (local shard pvb
+    [lrb*BLOCK, B], global column-block ids bc) -> (operand buffer, block
+    ids into it).
+
+    Halo schedule (default whenever ``tables.halo`` is not None): one
+    ppermute of halo*BLOCK rows from each ring neighbor builds the
+    [lrb + 2*halo blocks] window every local panel column falls in —
+    2*halo*BLOCK*B bytes over ICI per matvec vs the all-gather's
+    (ndev-1)/ndev * rows*B. Padding slots of short rows remap outside the
+    window and are clamped: their panel columns are zero, same contract as
+    the single-chip kernels' block-0 padding reads."""
+    ndev = tables.ndev
+    if force_gather or tables.halo is None:
+        return jax.lax.all_gather(pvb, NODE_AXIS, axis=0, tiled=True), bc
+    h = tables.halo
+    lrb = tables.nrb // ndev
+    if ndev > 1 and h > 0:
+        left = jax.lax.ppermute(
+            pvb[-h * BLOCK :], NODE_AXIS,
+            [(i, (i + 1) % ndev) for i in range(ndev)],
+        )
+        right = jax.lax.ppermute(
+            pvb[: h * BLOCK], NODE_AXIS,
+            [(i, (i - 1) % ndev) for i in range(ndev)],
+        )
+        window = jnp.concatenate([left, pvb, right], axis=0)
+    else:
+        window = pvb
+    d = jax.lax.axis_index(NODE_AXIS)
+    nblk = window.shape[0] // BLOCK
+    bcl = jnp.mod(bc - d * lrb + h, tables.nrb)
+    return window, jnp.clip(bcl, 0, nblk - 1).astype(bc.dtype)
+
+
 def make_sharded_block_matvec_ad(
-    tables: MeshBlockTables, impl: str = "einsum", interpret: bool = False
+    tables: MeshBlockTables,
+    impl: str = "einsum",
+    interpret: bool = False,
+    exchange: str = "auto",
 ):
     """Differentiable row-sharded fused matvec: (blocks, pv) -> L_sym @ pv in
     permuted padded row space ([rows, B] -> [rows, B], both row-sharded).
@@ -308,16 +383,20 @@ def make_sharded_block_matvec_ad(
     The custom VJP mirrors ops.pallas_spmv.make_matvec_ad at the GLOBAL
     operator level: bar_pv = L_sym @ g (one more sharded fused matvec —
     symmetry of the globally-assembled panels), bar_blocks = the per-shard
-    panel cotangent on (local g rows) x (all-gathered pv). Defining the VJP
+    panel cotangent on (local g rows) x (exchanged pv). Defining the VJP
     outside shard_map keeps the symmetric-adjoint trick valid (a local row
     slice of L_sym is NOT symmetric on its own).
+
+    ``exchange``: "auto" (halo ppermute when the layout admits it, else
+    all-gather) or "gather" (force the all-gather schedule).
     """
     mesh = tables.mesh
+    force_gather = exchange == "gather"
 
     def primal(blocks, pv):
         def body(bc, blk, pvb):
-            pv_full = jax.lax.all_gather(pvb, NODE_AXIS, axis=0, tiled=True)
-            return _local_matvec(tables, bc, blk, pv_full, impl, interpret)
+            pv_op, bcl = _exchange(tables, pvb, bc, force_gather)
+            return _local_matvec(tables, bcl, blk, pv_op, impl, interpret)
 
         # check_vma=False: pallas_call's out_shape carries no vma typing,
         # which the jax>=0.8 shard_map checker would reject.
@@ -331,8 +410,8 @@ def make_sharded_block_matvec_ad(
 
     def bwd_blocks(g, pv, out_dtype):
         def body(bc, gb, pvb):
-            pv_full = jax.lax.all_gather(pvb, NODE_AXIS, axis=0, tiled=True)
-            return _local_bwd_blocks(tables, bc, gb, pv_full, out_dtype, impl, interpret)
+            pv_op, bcl = _exchange(tables, pvb, bc, force_gather)
+            return _local_bwd_blocks(tables, bcl, gb, pv_op, out_dtype, impl, interpret)
 
         return shard_map(
             body,

@@ -4,8 +4,9 @@ For graphs that outgrow one chip, the symmetric-adjacency matvec is sharded
 by contiguous row blocks: each device owns N/ndev rows of the ELL table and
 the corresponding output rows; the input vector block is all-gathered over
 ICI once per matvec (for kNN graphs nnz/N = O(k), so gathering the [N, B]
-operand is the bandwidth-optimal schedule until N*B exceeds HBM — a
-ppermute ring schedule can replace it beyond that).
+operand is the bandwidth-optimal schedule until N*B presses on HBM — above
+``_OPERAND_GATHER_BUDGET`` the ppermute ring schedule in
+``sharded_adjacency_matvec`` holds one shard at a time instead).
 
 The edge-value array (one scalar per coalesced edge) is replicated: it is
 k/2 floats per node and is re-derived from the learnable bandwidth each step
@@ -46,8 +47,26 @@ def shard_graph_rows(graph: SparseGraph, mesh: Mesh):
     return ell_edge, ell_col, ell_mask, n + pad
 
 
-def sharded_adjacency_matvec(ell_edge, ell_col, ell_mask, triu, v, mesh: Mesh):
-    """A_sym @ v with row-sharded rows and an all-gathered operand.
+# Per-chip byte budget for materializing the all-gathered [Np, B] operand.
+# Above it the ring schedule holds only one [Np/ndev, B] shard at a time:
+# identical total ICI traffic ((ndev-1)/ndev * Np*B*itemsize moved either
+# way), 1/ndev the peak operand memory. 256 MB leaves plenty of HBM headroom
+# next to the CG/SLQ state on a 16 GB chip.
+_OPERAND_GATHER_BUDGET = 2**28
+
+
+def sharded_adjacency_matvec(
+    ell_edge, ell_col, ell_mask, triu, v, mesh: Mesh, ring: bool = None
+):
+    """A_sym @ v with row-sharded rows.
+
+    Operand exchange schedule:
+      * all-gather (default): one collective, each chip holds the full
+        [Np, B] operand for its local gathers;
+      * ``ring``: ndev steps of compute-on-resident-shard + ppermute — each
+        chip only ever holds one [Np/ndev, B] shard, engaged automatically
+        when the gathered operand would exceed ``_OPERAND_GATHER_BUDGET``
+        (SURVEY §5's ppermute schedule; same total ICI bytes as the gather).
 
     Args:
       ell_edge/ell_col/ell_mask: [Np, D] row-sharded ELL table (padded).
@@ -55,8 +74,12 @@ def sharded_adjacency_matvec(ell_edge, ell_col, ell_mask, triu, v, mesh: Mesh):
       v: [Np, B] row-sharded operand (padding rows must be zero).
     Returns: [Np, B] row-sharded result.
     """
+    ndev = mesh.devices.size
+    if ring is None:
+        ring = v.shape[0] * v.shape[1] * v.dtype.itemsize > _OPERAND_GATHER_BUDGET
+    chunk = v.shape[0] // ndev
 
-    def block(ee, ec, em, triu_full, v_blk):
+    def block_gather(ee, ec, em, triu_full, v_blk):
         v_full = jax.lax.all_gather(v_blk, NODE_AXIS, axis=0, tiled=True)
         ev = triu_full[ee] * em  # [rows/dev, D]
 
@@ -70,8 +93,35 @@ def sharded_adjacency_matvec(ell_edge, ell_col, ell_mask, triu, v, mesh: Mesh):
         out, _ = jax.lax.scan(step, acc0, (ec.T, ev.T))
         return out
 
+    def block_ring(ee, ec, em, triu_full, v_blk):
+        ev = triu_full[ee] * em  # [rows/dev, D]
+        me = jax.lax.axis_index(NODE_AXIS)
+        perm = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+        def ring_step(carry, s):
+            acc, v_shard = carry
+            # after s ppermutes of "shard moves one device left", this chip
+            # holds the shard originally owned by device (me + s) % ndev
+            base = ((me + s) % ndev) * chunk
+            idx = ec - base  # [rows/dev, D] local column within the shard
+            inb = ((idx >= 0) & (idx < chunk)).astype(ev.dtype)
+            idxc = jnp.clip(idx, 0, chunk - 1)
+
+            def slot(a, args):
+                col, val = args
+                return a + val[:, None] * v_shard[col], None
+
+            acc, _ = jax.lax.scan(slot, acc, (idxc.T, (ev * inb).T))
+            return (acc, jax.lax.ppermute(v_shard, NODE_AXIS, perm)), None
+
+        acc0 = jnp.zeros_like(v_blk)
+        (out, _), _ = jax.lax.scan(
+            ring_step, (acc0, v_blk), jnp.arange(ndev)
+        )
+        return out
+
     fn = shard_map(
-        block,
+        block_ring if ring else block_gather,
         mesh=mesh,
         in_specs=(
             P(NODE_AXIS, None),

@@ -97,6 +97,50 @@ def test_sharded_matvec_matches_single_chip(problem, mesh, rng, impl):
     )
 
 
+def test_halo_exchange_matches_gather(mesh, rng):
+    """Banded (circle) graph: the layout admits a small halo; the ppermute
+    halo exchange must equal the all-gather schedule (fwd + VJPs) — the ICI
+    schedule a real pod runs, 2*halo*BLOCK*B bytes instead of the full
+    operand."""
+    n = 2048
+    t = np.sort(rng.uniform(0, 2 * np.pi, n))
+    x = np.stack([np.cos(t), np.sin(t)], 1).astype(np.float32)
+    x += 0.005 * rng.standard_normal(x.shape).astype(np.float32)
+    graph = build_graph(x, 6)
+    coeffs = laplacian_coeffs(graph, 0.35)
+    tables = build_mesh_block_tables(graph, mesh)
+    assert tables is not None
+    assert tables.halo is not None and tables.halo <= 2, (
+        "banded circle layout must admit a neighbor halo",
+        tables.halo,
+    )
+    blocks = assemble_sharded(tables, coeffs.diag, coeffs.triu)
+    v = rng.standard_normal((n, 4)).astype(np.float32)
+    pv = tables.embed_rows(v)
+    cot = jax.device_put(
+        rng.standard_normal((tables.rows, 4)).astype(np.float32),
+        tables.node_sharding(2),
+    )
+
+    mv_halo = make_sharded_block_matvec_ad(tables, impl="einsum")
+    mv_gath = make_sharded_block_matvec_ad(
+        tables, impl="einsum", exchange="gather"
+    )
+    np.testing.assert_allclose(
+        np.asarray(mv_halo(blocks, pv)),
+        np.asarray(mv_gath(blocks, pv)),
+        atol=1e-5,
+    )
+    gh = jax.grad(lambda b, p: jnp.sum(mv_halo(b, p) * cot), argnums=(0, 1))(
+        blocks, pv
+    )
+    gg = jax.grad(lambda b, p: jnp.sum(mv_gath(b, p) * cot), argnums=(0, 1))(
+        blocks, pv
+    )
+    np.testing.assert_allclose(np.asarray(gh[0]), np.asarray(gg[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gg[1]), atol=1e-5)
+
+
 def test_sharded_fused_matern_matches_single_chip_and_scan(problem, mesh, rng):
     """The fused mesh Matérn precision matvec == the single-chip fused block
     path == the round-2 scan path (embedded at the right rows), including

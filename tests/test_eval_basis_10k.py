@@ -84,9 +84,10 @@ def test_lobpcg_basis_srmnist_scale_matches_arpack():
     assert checked >= 3, "need some well-separated modes to make this real"
 
 
-def test_mesh_eval_basis_matches_single_device():
-    """Row-sharded LOBPCG basis (mesh kernel) vs the single-device dense-eigh
-    basis on the same graph."""
+@pytest.mark.parametrize("fused", [True, False])
+def test_mesh_eval_basis_matches_single_device(fused):
+    """Row-sharded LOBPCG basis (mesh kernel, fused block-ELL and ELL-scan
+    SpMV paths) vs the single-device dense-eigh basis on the same graph."""
     from manifold_gp_tpu.parallel import make_mesh
 
     assert len(jax.devices()) >= 8
@@ -101,13 +102,17 @@ def test_mesh_eval_basis_matches_single_device():
         kernel = RiemannMaternKernel(
             nu=2, x=x, nearest_neighbors=6,
             laplacian_normalization="randomwalk", num_modes=m,
-            cfg=InferenceConfig(eigensolver_max_iter=300), mesh=mesh_arg,
+            cfg=InferenceConfig(
+                eigensolver_max_iter=300, use_block_sparse=fused
+            ),
+            mesh=mesh_arg,
         )
         return kernel, kernel.init_params(graphbandwidth=0.4, lengthscale=1.0)
 
     k_ref, p_ref = build(None)
     val_ref, vec_ref = k_ref.eval_basis(p_ref)  # dense-eigh route (n < 8192)
     k_sh, p_sh = build(mesh)
+    assert (k_sh._mesh_fused is not None) == fused
     val_sh, vec_sh = k_sh.eval_basis(p_sh)  # row-sharded LOBPCG route
     assert vec_sh.shape == (n, m)
 

@@ -1,0 +1,248 @@
+"""mBCG-parity preconditioner family (ops.pivchol) + preconditioned SLQ
+quadrature (ops.slq.slq_logdet_mbcg).
+
+Round-2 VERDICT items 3 and 7: pivoted-Cholesky preconditioner, the
+preconditioned Lanczos quadrature with logdet(M) correction, and a pinned
+ill-conditioned-accuracy test at the default Lanczos depth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from manifold_gp_tpu.ops.graph import build_graph
+from manifold_gp_tpu.ops.laplacian import laplacian_coeffs
+from manifold_gp_tpu.ops.matern import (
+    make_matern_precision_matvec,
+    make_noisy_matvec,
+    matern_precision_diag,
+    noisy_scaled_diag,
+)
+from manifold_gp_tpu.ops.pivchol import (
+    DeflationPrecond,
+    DiagPrecond,
+    LowRankDiagPrecond,
+    make_deflation_precond,
+    make_pivchol_precond,
+    pivoted_cholesky,
+)
+from manifold_gp_tpu.ops.slq import rademacher_probes, slq_logdet, slq_logdet_mbcg
+
+
+def _chain_problem(n, eps, nu=3, noise=1e-2, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 2 * np.pi, n))
+    x = np.stack([np.cos(t), np.sin(t)], 1).astype(np.float32)
+    graph = build_graph(x, 6)
+    c = laplacian_coeffs(graph, eps)
+    mv = make_noisy_matvec(
+        make_matern_precision_matvec(graph, c, nu, 1.0, "randomwalk"), noise
+    )
+    d = noisy_scaled_diag(
+        matern_precision_diag(graph, c, nu, 1.0, "randomwalk"), noise=noise
+    )
+    return graph, c, mv, d
+
+
+def test_pivoted_cholesky_full_rank_reconstructs(rng):
+    n = 48
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    spd = a @ a.T + n * np.eye(n, dtype=np.float32)
+    mv = lambda v: jnp.asarray(spd) @ v  # noqa: E731
+    bigl, d_res = pivoted_cholesky(mv, jnp.diagonal(jnp.asarray(spd)), n)
+    np.testing.assert_allclose(
+        np.asarray(bigl) @ np.asarray(bigl).T, spd, atol=1e-2 * n
+    )
+    assert float(jnp.max(d_res)) < 1e-2 * n
+
+
+def test_lowrank_diag_precond_identities(rng):
+    n, r = 60, 7
+    bigl = rng.standard_normal((n, r)).astype(np.float32)
+    d = (0.5 + rng.random(n)).astype(np.float32)
+    m = bigl @ bigl.T + np.diag(d)
+    c = np.eye(r, dtype=np.float32) + bigl.T @ (bigl / d[:, None])
+    p = LowRankDiagPrecond(
+        L=jnp.asarray(bigl),
+        d=jnp.asarray(d),
+        chol_c=jnp.linalg.cholesky(jnp.asarray(c)),
+    )
+    v = rng.standard_normal((n, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(p.apply(jnp.asarray(v))),
+        np.linalg.solve(m, v),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        float(p.logdet()), np.linalg.slogdet(m.astype(np.float64))[1], rtol=1e-5
+    )
+    # E[z z'] = M: check the sample second moment converges (Rademacher
+    # mixture, 6000 probes, Frobenius tolerance)
+    z = np.asarray(p.sample(jax.random.PRNGKey(0), 6000))
+    emp = z @ z.T / z.shape[1]
+    assert np.linalg.norm(emp - m) / np.linalg.norm(m) < 0.1
+
+
+def test_deflation_precond_identities(rng):
+    n, m_modes = 50, 6
+    q_full = np.linspace(0.1, 30.0, n).astype(np.float32)
+    v_full, _ = np.linalg.qr(rng.standard_normal((n, n)).astype(np.float32))
+    v = v_full[:, :m_modes]
+    q = q_full[:m_modes]
+    tau = 3.0
+    m_mat = v @ np.diag(q) @ v.T + tau * (np.eye(n) - v @ v.T)
+    p = make_deflation_precond(jnp.asarray(v), jnp.asarray(q), tau)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(p.apply(jnp.asarray(x))),
+        np.linalg.solve(m_mat, x),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        float(p.logdet()),
+        np.linalg.slogdet(m_mat.astype(np.float64))[1],
+        rtol=1e-5,
+    )
+    z = np.asarray(p.sample(jax.random.PRNGKey(1), 6000))
+    emp = z @ z.T / z.shape[1]
+    assert np.linalg.norm(emp - m_mat) / np.linalg.norm(m_mat) < 0.1
+
+
+def test_mbcg_matches_dense_well_conditioned():
+    """Value AND gradient of the preconditioned quadrature vs the dense
+    oracle on a well-conditioned config (where dense f32 AD is trustworthy);
+    plain SLQ agreement sanity-checks the estimator family."""
+    n = 500
+    graph, c, mv, d = _chain_problem(n, eps=0.3, nu=2)
+
+    def ld_dense(eps):
+        c2 = laplacian_coeffs(graph, eps)
+        mv2 = make_noisy_matvec(
+            make_matern_precision_matvec(graph, c2, 2, 1.0, "randomwalk"), 1e-2
+        )
+        dd = mv2(jnp.eye(n, dtype=jnp.float32))
+        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(dd))))
+
+    def ld_mbcg(eps):
+        c2 = laplacian_coeffs(graph, eps)
+        mv2 = make_noisy_matvec(
+            make_matern_precision_matvec(graph, c2, 2, 1.0, "randomwalk"), 1e-2
+        )
+        d2 = noisy_scaled_diag(
+            matern_precision_diag(graph, c2, 2, 1.0, "randomwalk"), noise=1e-2
+        )
+        return slq_logdet_mbcg(
+            mv2, DiagPrecond(d=d2), jax.random.PRNGKey(7), 64, 96,
+            cg_tol=1e-4, cg_max_iter=600,
+        )
+
+    eps = jnp.float32(0.3)
+    v_ref, g_ref = jax.value_and_grad(ld_dense)(eps)
+    v_m, g_m = jax.value_and_grad(ld_mbcg)(eps)
+    np.testing.assert_allclose(float(v_m), float(v_ref), rtol=2e-2)
+    np.testing.assert_allclose(float(g_m), float(g_ref), rtol=5e-2)
+
+
+def test_mbcg_quadrature_survives_ill_conditioning():
+    """Round-2 VERDICT item 7 (pinned at default lanczos_max_iter=96):
+    small-eps / nu=3 chain, operator condition ~1e10. The PLAIN Hutchinson+
+    Lanczos quadrature breaks down (NaN or >5% error); the preconditioned
+    quadrature (probes from M, PCG-coefficient T, logdet(M) correction)
+    stays within 5% of the f64 oracle."""
+    n = 800
+    graph, c, mv, d = _chain_problem(n, eps=0.02, nu=3)
+    # f64 oracle built from the same (f32) coefficients: the f32-densified
+    # matrix at cond ~1e10 is no longer numerically PD, so the oracle must
+    # compose Q = D^{1/2}(shift + L)^3 D^{1/2} and the 3-term Neumann noise
+    # wrapper in float64.
+    rows, cols = np.asarray(graph.rows), np.asarray(graph.cols)
+    a = np.zeros((n, n))
+    a[rows, cols] = np.asarray(c.triu, np.float64)
+    a[cols, rows] = np.asarray(c.triu, np.float64)
+    lap = np.diag(np.asarray(c.diag, np.float64)) - a
+    shift = 2.0 * 3 / 1.0**2
+    b = shift * np.eye(n) + lap
+    d12 = np.sqrt(np.asarray(c.deg, np.float64))
+    q = d12[:, None] * (b @ b @ b) * d12[None, :]
+    s2 = 1e-2
+    dense = q - s2 * q @ q + s2 * s2 * q @ q @ q
+    sign, ld_exact = np.linalg.slogdet(dense)
+    assert sign > 0
+    assert np.linalg.cond(dense) > 1e8, "config must actually be ill-conditioned"
+
+    key = jax.random.PRNGKey(5)
+    z = rademacher_probes(key, n, 64)
+    ld_plain = float(slq_logdet(mv, z, 96, cg_tol=1e-2, cg_max_iter=1000))
+    ld_m = float(slq_logdet_mbcg(mv, DiagPrecond(d=d), key, 64, 96))
+
+    rel_m = abs(ld_m - ld_exact) / abs(ld_exact)
+    assert np.isfinite(ld_m) and rel_m < 0.05, (ld_m, ld_exact)
+    plain_bad = (not np.isfinite(ld_plain)) or (
+        abs(ld_plain - ld_exact) / abs(ld_exact) > rel_m
+    )
+    assert plain_bad, (
+        "plain SLQ unexpectedly fine here — tighten the config",
+        ld_plain, ld_m, ld_exact,
+    )
+
+
+def test_pivchol_precond_on_covariance_operator(rng):
+    """GPyTorch's home turf for pivoted Cholesky: an AddedDiag covariance
+    K = Z Z' + sigma^2 I with fast-decaying spectrum. The rank-r pivchol
+    preconditioner must cut CG iterations well below Jacobi (which is inert:
+    the diagonal is nearly uniform)."""
+    from manifold_gp_tpu.ops.cg import cg_raw
+
+    n, m = 600, 30
+    z = rng.standard_normal((n, m)).astype(np.float32)
+    z *= (2.0 ** -np.arange(m, dtype=np.float32))[None, :]
+    sigma2 = 1e-1
+    khat = z @ z.T + sigma2 * np.eye(n, dtype=np.float32)
+    mv = lambda v: jnp.asarray(khat) @ v  # noqa: E731
+    d0 = jnp.diagonal(jnp.asarray(khat))
+    b = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+
+    _, it_plain = cg_raw(mv, b, 1e-6, 1000, with_info=True)
+    pj = DiagPrecond(d=d0)
+    _, it_jac = cg_raw(mv, b, 1e-6, 1000, precond=pj.apply, with_info=True)
+    pp = make_pivchol_precond(mv, d0, 15)
+    _, it_piv = cg_raw(mv, b, 1e-6, 1000, precond=pp.apply, with_info=True)
+    assert int(it_piv) < 0.5 * int(it_jac), (int(it_piv), int(it_jac), int(it_plain))
+
+
+def test_mll_loss_precond_quadrature_matches_plain(small_cloud):
+    """Model integration: cfg.slq_precond_quadrature=True produces the same
+    training loss (within MC tolerance) and finite gradients."""
+    from manifold_gp_tpu.config import InferenceConfig
+    from manifold_gp_tpu.kernels import RiemannMaternKernel
+    from manifold_gp_tpu.models import RiemannGP
+
+    x, y = small_cloud
+
+    def build(mbcg):
+        cfg = InferenceConfig(
+            max_cholesky=0, num_probes=64, lanczos_max_iter=40,
+            cg_tolerance=1e-4, cg_max_iter=400,
+            slq_precond_quadrature=mbcg,
+        )
+        kernel = RiemannMaternKernel(
+            nu=2, x=x, nearest_neighbors=6,
+            laplacian_normalization="randomwalk", num_modes=10, cfg=cfg,
+        )
+        model = RiemannGP(x, y, kernel, cfg=cfg)
+        params = model.init_params(
+            noise=1e-2, outputscale=1.0, graphbandwidth=0.35, lengthscale=1.0
+        )
+        return model, params
+
+    key = jax.random.PRNGKey(2)
+    m0, p0 = build(False)
+    l0, g0 = jax.jit(jax.value_and_grad(m0.mll_loss))(p0, key)
+    m1, p1 = build(True)
+    l1, g1 = jax.jit(jax.value_and_grad(m1.mll_loss))(p1, key)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-2)
+    for k in g0:
+        assert np.all(np.isfinite(np.asarray(g1[k]))), k
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g0[k]), rtol=0.3, atol=1e-3
+        )
