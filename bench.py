@@ -168,6 +168,10 @@ def main():
     ours, graph = bench_jax(x, k, batch)
     base = bench_torch_baseline(graph, batch)
     vs = (ours / base) if base else None
+    # batch-64 continuity row: the round-1 headline ran batch 64; keeping
+    # both keeps driver numbers apples-to-apples across rounds (round-2
+    # ADVICE item 4 / VERDICT weak-point 3).
+    ours64, _ = bench_jax(x, k, 64)
     print(
         json.dumps(
             {
@@ -175,6 +179,12 @@ def main():
                 "value": round(ours, 1),
                 "unit": "matvec/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "batch": batch,
+                "value_batch64": round(ours64, 1),
+                "n": n,
+                "k": k,
+                "dtype": "float32",
+                "kernel": "fused-pallas-or-einsum (auto)",
             }
         )
     )

@@ -442,7 +442,7 @@ class RiemannGP:
         )
 
     # -- prediction --------------------------------------------------------
-    def eval(self, params, love_rank: Optional[int] = None):
+    def eval(self, params, love_rank: Optional[int] = None, love_key=None):
         """Precompute the spectral basis + feature-space posterior cache.
 
         ``love_rank``: opt-in LOVE-mode predictive variances — the analogue
@@ -484,7 +484,9 @@ class RiemannGP:
                 ) + sigma2 * vv
                 return out[:, 0] if v.ndim == 1 else out
 
-            v0 = jax.random.normal(jax.random.PRNGKey(0), (n_tr,), jnp.float32)
+            if love_key is None:
+                love_key = jax.random.PRNGKey(0)
+            v0 = jax.random.normal(love_key, (n_tr,), jnp.float32)
             lam, vecs = lanczos_eigh(khat_mv, v0, rank, rank)
             # Lanczos breaks down once the Krylov space is exhausted (K has
             # rank num_modes + noise); spurious post-breakdown Ritz pairs
