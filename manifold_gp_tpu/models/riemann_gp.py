@@ -284,27 +284,52 @@ class RiemannGP:
             ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(dense))))
         else:
             assert key is not None, "stochastic logdet needs a PRNG key"
-            z = rademacher_probes(key, n, cfg.num_probes)
             npad = self.kernel.n_padded
-            probes = jnp.zeros((npad, cfg.num_probes), jnp.float32).at[support].set(z)
-            precond = None
+            d_noisy = None
             if cfg.cg_precondition:
-                d = self._padded_precision_diag(params)
-                d = noisy_scaled_diag(
-                    d,
+                d_noisy = noisy_scaled_diag(
+                    self._padded_precision_diag(params),
                     scale=self.outputscale(params) if self.use_outputscale else None,
                     noise=self.noise(params),
                 )
-                precond = make_jacobi_precond(d)
-            ld = slq_logdet(
-                mv,
-                probes,
-                num_steps=cfg.lanczos_max_iter,
-                cg_tol=cfg.cg_tolerance,
-                cg_max_iter=cfg.cg_max_iter,
-                precond=precond,
-                num_nodes=n,
-            )
+            if cfg.slq_precond_quadrature and d_noisy is not None:
+                # mesh mBCG: support-masked probes from M, PCG quadrature +
+                # masked logdet(M) correction (ops/pivchol.MaskedDiagPrecond)
+                from ..ops.pivchol import MaskedDiagPrecond
+                from ..ops.slq import slq_logdet_mbcg
+
+                mask = self._mask_l
+                pobj = MaskedDiagPrecond(
+                    d=jnp.where(mask > 0, d_noisy, 1.0), mask=mask
+                )
+                ld = slq_logdet_mbcg(
+                    mv,
+                    pobj,
+                    key,
+                    cfg.num_probes,
+                    cfg.lanczos_max_iter,
+                    cg_tol=cfg.cg_tolerance,
+                    cg_max_iter=cfg.cg_max_iter,
+                )
+            else:
+                z = rademacher_probes(key, n, cfg.num_probes)
+                probes = (
+                    jnp.zeros((npad, cfg.num_probes), jnp.float32)
+                    .at[support]
+                    .set(z)
+                )
+                precond = (
+                    make_jacobi_precond(d_noisy) if d_noisy is not None else None
+                )
+                ld = slq_logdet(
+                    mv,
+                    probes,
+                    num_steps=cfg.lanczos_max_iter,
+                    cg_tol=cfg.cg_tolerance,
+                    cg_max_iter=cfg.cg_max_iter,
+                    precond=precond,
+                    num_nodes=n,
+                )
         loss = 0.5 * (quad - ld + n * jnp.log(2.0 * jnp.pi))
         for _, prior, value_fn in self.kernel.priors():
             loss = loss - jnp.sum(prior.log_prob(value_fn(params)))

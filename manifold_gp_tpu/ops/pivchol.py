@@ -66,6 +66,13 @@ class DiagPrecond:
         z = jax.random.rademacher(key, (self.d.shape[0], num_probes), jnp.float32)
         return jnp.sqrt(self.d)[:, None] * z
 
+    def unit_sample(self, key, num_probes: int):
+        """z with E[z z'] = I on the operator's support (plain Rademacher
+        here) — the probes the Hutchinson gradient identity needs."""
+        return jax.random.rademacher(
+            key, (self.d.shape[0], num_probes), jnp.float32
+        )
+
     def tree_flatten(self):
         return (self.d,), None
 
@@ -75,6 +82,46 @@ class DiagPrecond:
 
 
 jax.tree_util.register_pytree_node_class(DiagPrecond)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskedDiagPrecond:
+    """Jacobi preconditioner on a padded row space: M = diag(d) restricted to
+    the support rows (mask = 1), identity elsewhere. Samples are supported on
+    the mask and the logdet counts only support rows, so the mBCG quadrature
+    on padded row-sharded vectors (models._mll_loss_sharded) estimates the
+    true support-block logdet."""
+
+    d: jnp.ndarray  # [Np] > 0 (1.0 fill off support)
+    mask: jnp.ndarray  # [Np] 1.0 support / 0.0 padding
+
+    def apply(self, v):
+        d = self.d if v.ndim == 1 else self.d[:, None]
+        return v / d
+
+    def logdet(self):
+        return jnp.sum(self.mask * jnp.log(self.d))
+
+    def sample(self, key, num_probes: int):
+        z = jax.random.rademacher(key, (self.d.shape[0], num_probes), jnp.float32)
+        return (self.mask * jnp.sqrt(self.d))[:, None] * z
+
+    def unit_sample(self, key, num_probes: int):
+        """Support-masked Rademacher: E[z z'] = I on the support rows.
+        Padding components would make the gradient CG run on the operator's
+        null space (the padded rows map to zero) and never converge."""
+        z = jax.random.rademacher(key, (self.d.shape[0], num_probes), jnp.float32)
+        return self.mask[:, None] * z
+
+    def tree_flatten(self):
+        return (self.d, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node_class(MaskedDiagPrecond)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +160,11 @@ class LowRankDiagPrecond:
         return (
             jnp.matmul(self.L, z1, precision=_HIGHEST)
             + jnp.sqrt(self.d)[:, None] * z2
+        )
+
+    def unit_sample(self, key, num_probes: int):
+        return jax.random.rademacher(
+            key, (self.L.shape[0], num_probes), jnp.float32
         )
 
     def tree_flatten(self):
@@ -229,6 +281,11 @@ class DeflationPrecond:
         return jnp.sqrt(self.tau) * z + jnp.matmul(
             self.v, (jnp.sqrt(self.q) - jnp.sqrt(self.tau))[:, None] * w,
             precision=_HIGHEST,
+        )
+
+    def unit_sample(self, key, num_probes: int):
+        return jax.random.rademacher(
+            key, (self.v.shape[0], num_probes), jnp.float32
         )
 
     def tree_flatten(self):

@@ -371,7 +371,10 @@ def slq_logdet_mbcg(
     precond = jax.tree_util.tree_map(jax.lax.stop_gradient, precond)
     k_m, k_r = jax.random.split(jnp.asarray(key))
     zm = precond.sample(k_m, num_probes)
-    zr = rademacher_probes(k_r, zm.shape[0], num_probes)
+    # gradient probes: E[zz'] = I on the operator's SUPPORT — on padded row
+    # spaces (mesh models) the preconditioner masks them, since components
+    # in the operator's null space would stall the gradient CG.
+    zr = precond.unit_sample(k_r, num_probes)
     mlogdet = precond.logdet()
     matvec_c, mv_consts = jax.closure_convert(matvec, zm)
     papply_c, p_consts = jax.closure_convert(precond.apply, zm)

@@ -210,6 +210,60 @@ def test_pivchol_precond_on_covariance_operator(rng):
     assert int(it_piv) < 0.5 * int(it_jac), (int(it_piv), int(it_jac), int(it_plain))
 
 
+def test_mesh_mll_precond_quadrature_matches_plain(small_cloud):
+    """Mesh path: the support-masked mBCG quadrature (MaskedDiagPrecond)
+    agrees with the plain padded-probe SLQ loss and with single-device."""
+    from manifold_gp_tpu.config import InferenceConfig
+    from manifold_gp_tpu.kernels import RiemannMaternKernel
+    from manifold_gp_tpu.models import RiemannGP
+    from manifold_gp_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    x, y = small_cloud
+
+    def build(mbcg, mesh_arg):
+        cfg = InferenceConfig(
+            max_cholesky=0, num_probes=64, lanczos_max_iter=40,
+            cg_tolerance=1e-4, cg_max_iter=400,
+            slq_precond_quadrature=mbcg,
+        )
+        kernel = RiemannMaternKernel(
+            nu=2, x=x, nearest_neighbors=6,
+            laplacian_normalization="randomwalk", num_modes=10, cfg=cfg,
+            mesh=mesh_arg,
+        )
+        model = RiemannGP(x, y, kernel, cfg=cfg)
+        params = model.init_params(
+            noise=1e-2, outputscale=1.0, graphbandwidth=0.35, lengthscale=1.0
+        )
+        return model, params
+
+    # exact reference: dense-Cholesky loss (n=160 <= max_cholesky)
+    cfg_e = InferenceConfig(max_cholesky=800)
+    k_e = RiemannMaternKernel(
+        nu=2, x=x, nearest_neighbors=6,
+        laplacian_normalization="randomwalk", num_modes=10, cfg=cfg_e,
+    )
+    m_e = RiemannGP(x, y, k_e, cfg=cfg_e)
+    p_e = m_e.init_params(
+        noise=1e-2, outputscale=1.0, graphbandwidth=0.35, lengthscale=1.0
+    )
+    l_exact = float(m_e.mll_loss(p_e))
+
+    # 3-key mean: a single 64-probe draw has ~2% spread on this loss
+    m_sh, p_sh = build(True, mesh)
+    losses = []
+    for seed in range(3):
+        l, g_sh = jax.jit(jax.value_and_grad(m_sh.mll_loss))(
+            p_sh, jax.random.PRNGKey(seed)
+        )
+        losses.append(float(l))
+        for k in g_sh:
+            assert np.all(np.isfinite(np.asarray(g_sh[k]))), k
+    np.testing.assert_allclose(np.mean(losses), l_exact, rtol=2e-2)
+
+
 def test_mll_loss_precond_quadrature_matches_plain(small_cloud):
     """Model integration: cfg.slq_precond_quadrature=True produces the same
     training loss (within MC tolerance) and finite gradients."""
