@@ -376,12 +376,19 @@ class RiemannGP:
         return None if obj is None else obj.apply
 
     # -- training loss -----------------------------------------------------
-    def mll_loss(self, params, key=None):
+    def mll_loss(self, params, key=None, precond_override=None):
         """Precision-form negative log marginal likelihood
         (reference ``utils/train_model.py:66-76``):
             0.5 [ y' Q y - logdet Q + n log 2pi ] - sum log p(priors), all / n.
         Exact (dense Cholesky) when n <= cfg.max_cholesky, else SLQ (with
-        Jacobi-preconditioned gradient solves when cfg.cg_precondition).
+        preconditioned gradient solves when cfg.cg_precondition, and the
+        full mBCG preconditioned quadrature when
+        cfg.slq_precond_quadrature).
+
+        ``precond_override``: an ops.pivchol preconditioner object to use in
+        place of the config-selected one — e.g. a DeflationPrecond built
+        once from the spectral basis for small-bandwidth/nu=3 runs where
+        diagonal preconditioners are inert.
         """
         if self.mesh is not None:
             return self._mll_loss_sharded(params, key=key)
@@ -393,8 +400,12 @@ class RiemannGP:
         c = self.kernel.coeffs(params)
         mv = self.precision_matvec(params, noise=True, coeffs=c)
         quad = jnp.dot(y, mv(y[:, None])[:, 0], precision=_HIGHEST)
-        pobj = self.precision_precond_obj(
-            params, noise=True, coeffs=c, matvec=mv
+        pobj = (
+            precond_override
+            if precond_override is not None
+            else self.precision_precond_obj(
+                params, noise=True, coeffs=c, matvec=mv
+            )
         )
         if (
             self.cfg.slq_precond_quadrature
