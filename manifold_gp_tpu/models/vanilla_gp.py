@@ -73,14 +73,47 @@ class VanillaGP:
     def mll_loss(self, params, key=None):
         """Negative exact marginal log likelihood / n (the quantity
         ``vanilla_train`` minimizes via gpytorch's ExactMarginalLogLikelihood,
-        reference ``utils/train_model.py:13-22``)."""
+        reference ``utils/train_model.py:13-22``).
+
+        Two regimes, exactly like gpytorch: dense Cholesky up to
+        ``cfg.max_cholesky``; above it, BBMM — CG for the quad term and the
+        mBCG preconditioned Lanczos quadrature for the logdet, both under the
+        rank-r pivoted-Cholesky preconditioner of the AddedDiag covariance
+        (K = s·ZZ-ish gram + sigma^2 I is pivchol's native territory: the
+        top spectrum is low-rank, so r=15 deflates it; see
+        tests/test_mbcg.py::test_pivchol_precond_on_covariance_operator).
+        """
         n = self.num_data
         resid = self.train_y - params["mean_constant"]
         kmat = self._train_covar(params)
-        chol = jnp.linalg.cholesky(kmat)
-        alpha = jax.scipy.linalg.cho_solve((chol, True), resid[:, None])[:, 0]
-        quad = jnp.dot(resid, alpha, precision=_HIGHEST)
-        ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        if n <= self.cfg.max_cholesky:
+            chol = jnp.linalg.cholesky(kmat)
+            alpha = jax.scipy.linalg.cho_solve((chol, True), resid[:, None])[:, 0]
+            quad = jnp.dot(resid, alpha, precision=_HIGHEST)
+            ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        else:
+            assert key is not None, "stochastic logdet needs a PRNG key"
+            from ..ops.cg import cg_solve
+            from ..ops.pivchol import make_pivchol_precond
+            from ..ops.slq import slq_logdet_mbcg
+
+            def mv(v):
+                return jnp.matmul(kmat, v, precision=_HIGHEST)
+
+            pobj = make_pivchol_precond(
+                mv, jnp.diagonal(kmat), self.cfg.precond_rank
+            )
+            # 2-D RHS: cg_solve's closure_convert specializes the matvec /
+            # preconditioner to the RHS aval, and CG runs on [n, B] columns.
+            alpha = cg_solve(
+                mv, resid[:, None], tol=self.cfg.cg_tolerance,
+                max_iter=self.cfg.cg_max_iter, precond=pobj.apply,
+            )[:, 0]
+            quad = jnp.dot(resid, alpha, precision=_HIGHEST)
+            ld = slq_logdet_mbcg(
+                mv, pobj, key, self.cfg.num_probes, self.cfg.lanczos_max_iter,
+                cg_tol=self.cfg.cg_tolerance, cg_max_iter=self.cfg.cg_max_iter,
+            )
         return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi)) / n
 
     def eval(self, params):

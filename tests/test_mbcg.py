@@ -264,6 +264,37 @@ def test_mesh_mll_precond_quadrature_matches_plain(small_cloud):
     np.testing.assert_allclose(np.mean(losses), l_exact, rtol=2e-2)
 
 
+def test_vanilla_gp_bbmm_matches_cholesky(small_cloud):
+    """VanillaGP's iterative (BBMM) regime — CG quad + pivchol-mBCG logdet —
+    matches the dense-Cholesky exact loss, value and gradients."""
+    from manifold_gp_tpu.config import InferenceConfig
+    from manifold_gp_tpu.kernels import RBFKernel
+    from manifold_gp_tpu.models import VanillaGP
+
+    x, y = small_cloud
+
+    def build(max_chol):
+        cfg = InferenceConfig(
+            max_cholesky=max_chol, num_probes=128, lanczos_max_iter=64,
+            cg_tolerance=1e-6, cg_max_iter=600,
+        )
+        m = VanillaGP(x, y, RBFKernel(), cfg=cfg)
+        p = m.init_params(noise=1e-2, outputscale=1.0, lengthscale=0.5)
+        return m, p
+
+    m_e, p_e = build(800)
+    l_e, g_e = jax.jit(jax.value_and_grad(m_e.mll_loss))(p_e)
+    m_i, p_i = build(0)
+    l_i, g_i = jax.jit(jax.value_and_grad(m_i.mll_loss))(
+        p_i, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(float(l_i), float(l_e), rtol=2e-2)
+    for k in g_e:
+        np.testing.assert_allclose(
+            np.asarray(g_i[k]), np.asarray(g_e[k]), rtol=0.15, atol=2e-3
+        )
+
+
 def test_mll_loss_precond_quadrature_matches_plain(small_cloud):
     """Model integration: cfg.slq_precond_quadrature=True produces the same
     training loss (within MC tolerance) and finite gradients."""
