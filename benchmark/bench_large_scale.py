@@ -139,7 +139,8 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
     )
     from manifold_gp_tpu.parallel.block_spmv import (
         build_mesh_block_tables,
-        make_sharded_matern_precision_matvec_fused,
+        make_sharded_matern_precision_matvec_operand,
+        sharded_matern_precision_operands,
     )
 
     devices = jax.devices()
@@ -155,9 +156,16 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
     if tables is not None:
         impl = "pallas" if devices[0].platform == "tpu" else "einsum"
         panel_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
-        mv = make_sharded_matern_precision_matvec_fused(
-            tables, coeffs, nu, ls, "randomwalk", dtype=panel_dtype, impl=impl
+        # operands assembled EAGERLY and passed as jit arguments below —
+        # the tunneled backend ships closure constants with the compile
+        # request (hard size limit; the panel buffer is multi-GB at 1M).
+        qblocks, dsq_p = sharded_matern_precision_operands(
+            tables, coeffs, nu, ls, dtype=panel_dtype
         )
+        mv_op = make_sharded_matern_precision_matvec_operand(
+            tables, nu, "randomwalk", impl=impl
+        )
+        mv = None
         n_pad = tables.rows
         b = tables.embed_rows(b_host)
         desc = f"fused(S={tables.s_max}, impl={impl}, dtype={dtype})"
@@ -179,17 +187,30 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
         file=sys.stderr,
     )
 
-    @jax.jit
-    def run_cg(b):
-        return cg_raw(mv, b, tol=0.0, max_iter=cg_iters)
+    if tables is not None:
 
-    x = run_cg(b)
+        @jax.jit
+        def run_cg(qblocks_, dsq_p_, b_):
+            return cg_raw(
+                lambda v: mv_op(qblocks_, dsq_p_, v), b_, tol=0.0, max_iter=cg_iters
+            )
+
+        run = lambda b_: run_cg(qblocks, dsq_p, b_)
+    else:
+
+        @jax.jit
+        def run_cg(b_):
+            return cg_raw(mv, b_, tol=0.0, max_iter=cg_iters)
+
+        run = run_cg
+
+    x = run(b)
     float(x[0, 0])
     reps = 2
     t0 = time.perf_counter()
     out = b
     for _ in range(reps):
-        out = run_cg(out)
+        out = run(out)
     float(out[0, 0])
     dt = time.perf_counter() - t0
     matvecs = reps * cg_iters * nu * batch

@@ -439,6 +439,52 @@ def make_sharded_block_matvec_ad(
     return mv
 
 
+def sharded_matern_precision_operands(
+    tables: MeshBlockTables, coeffs, nu: int, lengthscale, dtype=None
+):
+    """Assemble the per-coeffs operands of the fused mesh Matérn matvec:
+    the shift-folded panel buffer [nrb, BLOCK, S*BLOCK] (row-block-sharded)
+    and the permuted sqrt-degree vector [rows].
+
+    Exposed separately so eager callers (benchmarks, repeated solves at
+    fixed hyperparameters) can pass both as jit ARGUMENTS — the tunneled
+    TPU backend ships closure constants inside the compile request, which
+    has a hard size limit the multi-GB panel buffer exceeds."""
+    shift = 2.0 * nu / jnp.square(jnp.reshape(lengthscale, ()))
+    qblocks = assemble_sharded(tables, coeffs.diag + shift, coeffs.triu, dtype=dtype)
+    dsq_p = jnp.sqrt(tables.gather_coeff(coeffs.deg, fill=1.0))
+    return qblocks, dsq_p
+
+
+def make_sharded_matern_precision_matvec_operand(
+    tables: MeshBlockTables,
+    nu: int,
+    normalization: str = "randomwalk",
+    impl: str = "einsum",
+    interpret: bool = False,
+):
+    """Operand-explicit form of the fused mesh Matérn matvec:
+    ``matvec(qblocks, dsq_p, v)`` with operands from
+    :func:`sharded_matern_precision_operands`. See
+    :func:`make_sharded_matern_precision_matvec_fused` for semantics."""
+    mv_ad = make_sharded_block_matvec_ad(tables, impl=impl, interpret=interpret)
+    sharding = tables.node_sharding(2)
+
+    def matvec(qblocks, dsq_p, v):
+        squeeze = v.ndim == 1
+        out = v[:, None] if squeeze else v
+        out = jax.lax.with_sharding_constraint(out, sharding)
+        if normalization == "randomwalk":
+            out = out * dsq_p[:, None]
+        for _ in range(nu):
+            out = mv_ad(qblocks, out)
+        if normalization == "randomwalk":
+            out = out * dsq_p[:, None]
+        return out[:, 0] if squeeze else out
+
+    return matvec
+
+
 def make_sharded_matern_precision_matvec_fused(
     tables: MeshBlockTables,
     coeffs,
@@ -458,22 +504,10 @@ def make_sharded_matern_precision_matvec_fused(
     sharded fused matvec. Vectors: [rows, B], zero padding rows (padding
     degree fill 1.0 keeps the sqrt/mul a no-op there).
     """
-    shift = 2.0 * nu / jnp.square(jnp.reshape(lengthscale, ()))
-    qblocks = assemble_sharded(tables, coeffs.diag + shift, coeffs.triu, dtype=dtype)
-    mv_ad = make_sharded_block_matvec_ad(tables, impl=impl, interpret=interpret)
-    dsq_p = jnp.sqrt(tables.gather_coeff(coeffs.deg, fill=1.0))
-    sharding = tables.node_sharding(2)
-
-    def matvec(v):
-        squeeze = v.ndim == 1
-        out = v[:, None] if squeeze else v
-        out = jax.lax.with_sharding_constraint(out, sharding)
-        if normalization == "randomwalk":
-            out = out * dsq_p[:, None]
-        for _ in range(nu):
-            out = mv_ad(qblocks, out)
-        if normalization == "randomwalk":
-            out = out * dsq_p[:, None]
-        return out[:, 0] if squeeze else out
-
-    return matvec
+    qblocks, dsq_p = sharded_matern_precision_operands(
+        tables, coeffs, nu, lengthscale, dtype=dtype
+    )
+    inner = make_sharded_matern_precision_matvec_operand(
+        tables, nu, normalization, impl=impl, interpret=interpret
+    )
+    return lambda v: inner(qblocks, dsq_p, v)
