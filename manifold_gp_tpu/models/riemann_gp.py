@@ -231,13 +231,43 @@ class RiemannGP:
         d = self.kernel.precision_diag(params, coeffs=coeffs)
         return self.kernel.embed_mesh_coeff(d, fill=1.0)
 
-    def _mll_loss_sharded(self, params, key=None):
+    def _precond_obj_sharded(self, params, matvec=None):
+        """Masked preconditioner OBJECT for the padded composed operator, per
+        cfg.precond_type — the mesh counterpart of ``precision_precond_obj``:
+
+          * "jacobi": MaskedDiagPrecond on the padded noisy-scaled diagonal;
+          * "pivchol": rank-r MaskedLowRankDiagPrecond built from the padded
+            composed matvec itself (support-restricted pivoting).
+
+        None when cfg.cg_precondition is off or precond_type == "none".
+        """
+        cfg = self.cfg
+        if not cfg.cg_precondition or cfg.precond_type == "none":
+            return None
+        from ..ops.pivchol import MaskedDiagPrecond, make_pivchol_precond_masked
+
+        mask = self._mask_l
+        d_noisy = noisy_scaled_diag(
+            self._padded_precision_diag(params),
+            scale=self.outputscale(params) if self.use_outputscale else None,
+            noise=self.noise(params),
+        )
+        d_noisy = jnp.where(mask > 0, d_noisy, 1.0)
+        if cfg.precond_type == "pivchol" and matvec is not None:
+            return make_pivchol_precond_masked(
+                matvec, d_noisy, mask, cfg.precond_rank
+            )
+        return MaskedDiagPrecond(d=d_noisy, mask=mask)
+
+    def _mll_loss_sharded(self, params, key=None, precond_override=None):
         """Precision-form MLL on the row-sharded mesh path. Identical math to
         ``mll_loss`` (same probes for the same key), evaluated on padded
         vectors: quad via the embedded y, logdet via dense Cholesky of the
         support block (small n) or SLQ with support-embedded probes and the
-        true trace dimension (ops/slq.py num_nodes)."""
-        from ..ops.matern import make_jacobi_precond, noisy_scaled_diag
+        true trace dimension (ops/slq.py num_nodes). ``precond_override``
+        takes a masked preconditioner object (ops.pivchol Masked*) and
+        replaces the config-selected one, exactly as on the single-device
+        path."""
         from ..ops.slq import rademacher_probes, slq_logdet
 
         n = self.num_data
@@ -285,23 +315,16 @@ class RiemannGP:
         else:
             assert key is not None, "stochastic logdet needs a PRNG key"
             npad = self.kernel.n_padded
-            d_noisy = None
-            if cfg.cg_precondition:
-                d_noisy = noisy_scaled_diag(
-                    self._padded_precision_diag(params),
-                    scale=self.outputscale(params) if self.use_outputscale else None,
-                    noise=self.noise(params),
-                )
-            if cfg.slq_precond_quadrature and d_noisy is not None:
+            pobj = (
+                precond_override
+                if precond_override is not None
+                else self._precond_obj_sharded(params, matvec=mv)
+            )
+            if cfg.slq_precond_quadrature and pobj is not None:
                 # mesh mBCG: support-masked probes from M, PCG quadrature +
-                # masked logdet(M) correction (ops/pivchol.MaskedDiagPrecond)
-                from ..ops.pivchol import MaskedDiagPrecond
+                # masked logdet(M) correction (ops/pivchol Masked* family)
                 from ..ops.slq import slq_logdet_mbcg
 
-                mask = self._mask_l
-                pobj = MaskedDiagPrecond(
-                    d=jnp.where(mask > 0, d_noisy, 1.0), mask=mask
-                )
                 ld = slq_logdet_mbcg(
                     mv,
                     pobj,
@@ -318,16 +341,13 @@ class RiemannGP:
                     .at[support]
                     .set(z)
                 )
-                precond = (
-                    make_jacobi_precond(d_noisy) if d_noisy is not None else None
-                )
                 ld = slq_logdet(
                     mv,
                     probes,
                     num_steps=cfg.lanczos_max_iter,
                     cg_tol=cfg.cg_tolerance,
                     cg_max_iter=cfg.cg_max_iter,
-                    precond=precond,
+                    precond=None if pobj is None else pobj.apply,
                     num_nodes=n,
                 )
         loss = 0.5 * (quad - ld + n * jnp.log(2.0 * jnp.pi))
@@ -375,6 +395,78 @@ class RiemannGP:
         )
         return None if obj is None else obj.apply
 
+    def build_precond(self, params):
+        """Freshly built config-selected preconditioner OBJECT for the
+        composed noisy precision (mesh or single-device form) — the
+        cacheable unit for ``precond_refresh`` training
+        (utils.train.manifold_informed_train): pivchol construction costs
+        ``precond_rank`` sequential full-operator matvecs (~15 HBM panel
+        sweeps at 1M nodes), and since the object is stop_gradient-ed,
+        rebuilding it every k epochs instead of every loss eval changes only
+        iteration counts / estimator concentration, never gradients."""
+        if self.mesh is not None:
+            mv = self._precision_matvec_sharded(params, noise=True)
+            return self._precond_obj_sharded(params, matvec=mv)
+        c = self.kernel.coeffs(params)
+        mv = self.precision_matvec(params, noise=True, coeffs=c)
+        return self.precision_precond_obj(params, noise=True, coeffs=c, matvec=mv)
+
+    def deflation_precond(self, params, basis=None):
+        """Spectral-deflation preconditioner for the composed noisy-scaled
+        precision operator, built from the kernel's spectral basis (the
+        sharded LOBPCG one on mesh kernels — already maintained for eval).
+        Pass the result as ``precond_override`` to :meth:`mll_loss`.
+
+        Supervised + symmetric normalization only: the symmetric-Laplacian
+        eigenvectors are orthonormal and are eigenvectors of the whole
+        composed stack (a polynomial in L), with eigenvalues
+        noise(scale * (2 nu / l^2 + lambda)^nu); the randomwalk recovery's
+        degree scaling breaks orthonormality, and the Schur complement's
+        eigenvectors are not L's. The bulk scale tau is the composed value at
+        the geometric mean of the undeflated spectrum window
+        [lambda_m, Gershgorin bound].
+        """
+        assert self.labeled is None, "deflation needs the unmarginalized stack"
+        assert self.kernel.laplacian_normalization == "symmetric"
+        from ..ops.laplacian import gershgorin_bound
+        from ..ops.pivchol import make_deflation_precond
+
+        if basis is None:
+            basis = self.kernel.eval_basis(params)
+        eigval, eigvec = basis
+        c = self.kernel.coeffs(params)
+        # Undo eval_basis's unconditional D^{-1/2} recovery + renormalize:
+        # restores the orthonormal symmetric eigenvectors exactly (the
+        # post-processing is an entrywise scale + column scale,
+        # kernels/riemann.py _eval_basis_jit tail).
+        v = eigvec * jnp.sqrt(c.deg)[:, None]
+        v = v / jnp.linalg.norm(v, axis=0, keepdims=True)
+
+        nu = self.kernel.nu
+        ls2 = jnp.square(jnp.reshape(self.kernel.lengthscale(params), ()))
+        s2 = jnp.reshape(self.noise(params), ())
+
+        def composed_eig(lam):
+            q = jnp.power(2.0 * nu / ls2 + lam, float(nu))
+            if self.use_outputscale:
+                q = q * jnp.reshape(self.outputscale(params), ())
+            return q * (1.0 - s2 * q * (1.0 - s2 * q))
+
+        q = composed_eig(eigval)
+        q = jnp.maximum(q, 1e-12 * jnp.max(q))
+        lam_hi = gershgorin_bound(self.kernel.graph, c)
+        lam_mid = jnp.sqrt(jnp.maximum(eigval[-1], 1e-12) * lam_hi)
+        tau = jnp.maximum(composed_eig(lam_mid), 1e-12 * jnp.max(q))
+        if self.mesh is None:
+            return make_deflation_precond(v, q, tau)
+        rows = self.kernel.mesh_rows
+        v_pad = (
+            jnp.zeros((self.kernel.n_padded, v.shape[1]), jnp.float32)
+            .at[rows]
+            .set(v)
+        )
+        return make_deflation_precond(v_pad, q, tau, mask=self._mask_l)
+
     # -- training loss -----------------------------------------------------
     def mll_loss(self, params, key=None, precond_override=None):
         """Precision-form negative log marginal likelihood
@@ -388,10 +480,14 @@ class RiemannGP:
         ``precond_override``: an ops.pivchol preconditioner object to use in
         place of the config-selected one — e.g. a DeflationPrecond built
         once from the spectral basis for small-bandwidth/nu=3 runs where
-        diagonal preconditioners are inert.
+        diagonal preconditioners are inert. On mesh models pass the masked
+        form (Masked* classes, padded row space) — see
+        ``deflation_precond`` for the basis-built one on either path.
         """
         if self.mesh is not None:
-            return self._mll_loss_sharded(params, key=key)
+            return self._mll_loss_sharded(
+                params, key=key, precond_override=precond_override
+            )
         n = self.num_data
         y = self.train_y
         # One coefficient computation shared by the operator and the

@@ -116,12 +116,54 @@ class VanillaGP:
             )
         return 0.5 * (quad + ld + n * jnp.log(2.0 * jnp.pi)) / n
 
-    def eval(self, params):
+    def eval(self, params, love_rank: int = 100, love_key=None):
+        """Precompute the posterior cache. Two regimes, like the mll:
+
+          * n <= cfg.max_cholesky — dense Cholesky (exact, as before);
+          * n > cfg.max_cholesky — the BBMM prediction regime the reference
+            evaluates its vanilla baselines under
+            (``utils/test_model.py:11``: gpytorch's exact prediction
+            strategy + ``fast_pred_var``): the mean cache alpha =
+            (K + sigma^2 I)^{-1} (y - mu) from preconditioned CG (rank-r
+            pivoted-Cholesky preconditioner, GPyTorch's AddedDiag default),
+            and predictive variances through a rank-``love_rank`` LOVE /
+            Lanczos root of the train covariance instead of a dense
+            factorization. ``love_rank >= n`` exhausts the Krylov space and
+            reproduces the exact variances (GPyTorch's
+            max_root_decomposition_size semantics; its fast_pred_var default
+            is 100).
+        """
+        n = self.num_data
         kmat = self._train_covar(params)
-        chol = jnp.linalg.cholesky(kmat)
         resid = self.train_y - params["mean_constant"]
-        alpha = jax.scipy.linalg.cho_solve((chol, True), resid[:, None])[:, 0]
-        self._cache = dict(chol=chol, alpha=alpha)
+        if n <= self.cfg.max_cholesky:
+            chol = jnp.linalg.cholesky(kmat)
+            alpha = jax.scipy.linalg.cho_solve((chol, True), resid[:, None])[:, 0]
+            self._cache = dict(chol=chol, alpha=alpha)
+            return self
+        from ..ops.cg import cg_solve
+        from ..ops.eigen import lanczos_eigh
+        from ..ops.pivchol import make_pivchol_precond
+
+        def mv(v):
+            return jnp.matmul(kmat, v, precision=_HIGHEST)
+
+        pobj = make_pivchol_precond(mv, jnp.diagonal(kmat), self.cfg.precond_rank)
+        alpha = cg_solve(
+            mv, resid[:, None], tol=self.cfg.cg_tolerance,
+            max_iter=self.cfg.cg_max_iter, precond=pobj.apply,
+        )[:, 0]
+        rank = int(min(love_rank, n))
+        if love_key is None:
+            love_key = jax.random.PRNGKey(0)
+        v0 = jax.random.normal(love_key, (n,), jnp.float32)
+        lam, vecs = lanczos_eigh(mv, v0, rank, rank)
+        # Post-Krylov-breakdown Ritz pairs come back as +inf values with NaN
+        # vectors (see RiemannGP.eval's LOVE path) — zero-weight them.
+        finite = jnp.isfinite(lam)
+        inv_lam = jnp.where(finite, 1.0 / jnp.where(finite, lam, 1.0), 0.0)
+        vecs = jnp.where(finite[None, :], jnp.nan_to_num(vecs), 0.0)
+        self._cache = dict(alpha=alpha, love=(inv_lam, vecs))
         return self
 
     def posterior(self, params, x, noisy_posterior: bool = False) -> Posterior:
@@ -132,9 +174,20 @@ class VanillaGP:
         mean = params["mean_constant"] + jnp.matmul(
             k_star.T, cache["alpha"][:, None], precision=_HIGHEST
         )[:, 0]
-        v = jax.scipy.linalg.solve_triangular(cache["chol"], k_star, lower=True)
         k_ss = s * self.kernel.gram(params, x)
-        covar = k_ss - jnp.matmul(v.T, v, precision=_HIGHEST)
+        if "love" in cache:
+            # LOVE covariance: K** - K*t (V diag(1/lam) V') Kt* on the
+            # rank-r Lanczos Ritz pairs of the train covariance.
+            inv_lam, vecs = cache["love"]
+            wv = jnp.matmul(k_star.T, vecs, precision=_HIGHEST)
+            covar = k_ss - jnp.matmul(
+                wv * inv_lam[None, :], wv.T, precision=_HIGHEST
+            )
+        else:
+            v = jax.scipy.linalg.solve_triangular(
+                cache["chol"], k_star, lower=True
+            )
+            covar = k_ss - jnp.matmul(v.T, v, precision=_HIGHEST)
         if noisy_posterior:
             covar = covar + jnp.reshape(self.noise(params), ()) * jnp.eye(
                 covar.shape[0], dtype=covar.dtype

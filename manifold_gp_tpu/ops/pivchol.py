@@ -178,6 +178,64 @@ class LowRankDiagPrecond:
 jax.tree_util.register_pytree_node_class(LowRankDiagPrecond)
 
 
+@dataclasses.dataclass(frozen=True)
+class MaskedLowRankDiagPrecond:
+    """Pivoted-Cholesky preconditioner on a padded row space:
+    M = L L' + diag(d) restricted to the support rows (mask = 1), identity
+    elsewhere. The mesh analogue of ``LowRankDiagPrecond``: L's off-support
+    rows are structurally zero (pivots are drawn from the support diagonal),
+    d carries 1.0 fill off support so the Woodbury division is the identity
+    there, and logdet / probe sampling count only support rows — so the mBCG
+    quadrature on padded row-sharded vectors estimates the true support-block
+    logdet (the padded operator maps padding rows to zero)."""
+
+    L: jnp.ndarray  # [Np, r], zero rows off support
+    d: jnp.ndarray  # [Np] > 0, 1.0 fill off support
+    chol_c: jnp.ndarray  # [r, r] lower Cholesky of C = I_r + L' D^{-1} L
+    mask: jnp.ndarray  # [Np] 1.0 support / 0.0 padding
+
+    def apply(self, v):
+        squeeze = v.ndim == 1
+        vv = v[:, None] if squeeze else v
+        div = vv / self.d[:, None]
+        w = jnp.matmul(self.L.T, div, precision=_HIGHEST)
+        u = jax.scipy.linalg.cho_solve((self.chol_c, True), w)
+        out = div - jnp.matmul(self.L, u, precision=_HIGHEST) / self.d[:, None]
+        return out[:, 0] if squeeze else out
+
+    def logdet(self):
+        return jnp.sum(self.mask * jnp.log(self.d)) + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(self.chol_c))
+        )
+
+    def sample(self, key, num_probes: int):
+        """z = L z1 + mask * sqrt(d) z2 — E[z z'] = M on the support block."""
+        k1, k2 = jax.random.split(key)
+        n, r = self.L.shape
+        z1 = jax.random.rademacher(k1, (r, num_probes), jnp.float32)
+        z2 = jax.random.rademacher(k2, (n, num_probes), jnp.float32)
+        return (
+            jnp.matmul(self.L, z1, precision=_HIGHEST)
+            + (self.mask * jnp.sqrt(self.d))[:, None] * z2
+        )
+
+    def unit_sample(self, key, num_probes: int):
+        z = jax.random.rademacher(
+            key, (self.L.shape[0], num_probes), jnp.float32
+        )
+        return self.mask[:, None] * z
+
+    def tree_flatten(self):
+        return (self.L, self.d, self.chol_c, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node_class(MaskedLowRankDiagPrecond)
+
+
 def pivoted_cholesky(matvec: Callable, diag0: jnp.ndarray, rank: int):
     """Rank-r partial pivoted Cholesky of the SPD operator behind ``matvec``
     from matvecs alone: A ~= L L' + diag(d_res).
@@ -244,6 +302,43 @@ def make_pivchol_precond(
     return LowRankDiagPrecond(L=bigl, d=d, chol_c=chol_c)
 
 
+def make_pivchol_precond_masked(
+    matvec: Callable,
+    diag0: jnp.ndarray,
+    mask: jnp.ndarray,
+    rank: int,
+    min_diag_frac: float = 1e-4,
+) -> MaskedLowRankDiagPrecond:
+    """Masked/padded-row-space ``make_pivchol_precond`` for mesh operators.
+
+    ``matvec`` is the padded composed operator (padding rows map to zero and
+    support one-hots produce support-only columns — the composed stack is a
+    polynomial in Q with no constant term, and the masked Schur output is
+    explicitly mask_l-restricted). ``diag0`` is the padded operator diagonal;
+    it is zeroed off support before pivoting so the greedy argmax never
+    selects a padding row, the residual then stays identically zero there,
+    and the clamp floor / capacitance are computed from support rows only.
+    """
+    diag0_s = jnp.where(mask > 0, diag0, 0.0)
+    bigl, d_res = pivoted_cholesky(matvec, diag0_s, rank)
+    n_sup = jnp.maximum(jnp.sum(mask), 1.0)
+    floor = jnp.maximum(
+        jnp.sum(d_res * mask) / n_sup,
+        min_diag_frac
+        * jnp.sum(jax.lax.stop_gradient(diag0_s) * mask)
+        / n_sup,
+    )
+    d = jnp.where(mask > 0, jnp.maximum(d_res, floor), 1.0)
+    r = bigl.shape[1]
+    c = jnp.eye(r, dtype=bigl.dtype) + jnp.matmul(
+        bigl.T, bigl / d[:, None], precision=_HIGHEST
+    )
+    chol_c = jnp.linalg.cholesky(c)
+    return MaskedLowRankDiagPrecond(
+        L=bigl, d=d, chol_c=chol_c, mask=jax.lax.stop_gradient(mask)
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class DeflationPrecond:
     """M = V diag(q) V' + tau (I - V V') with orthonormal V [n, m].
@@ -299,13 +394,75 @@ class DeflationPrecond:
 jax.tree_util.register_pytree_node_class(DeflationPrecond)
 
 
-def make_deflation_precond(eigvec, q, tau) -> DeflationPrecond:
+@dataclasses.dataclass(frozen=True)
+class MaskedDeflationPrecond:
+    """Deflation preconditioner on a padded row space: M = V diag(q) V' +
+    tau (I - V V') on the support rows (mask = 1), identity on padding.
+    V's rows are structurally zero off support (eigenvectors embedded at
+    their support rows), so V' x never sees padding; the complement term
+    x / tau is masked back to the identity there, logdet counts
+    sum(mask) - m bulk modes, and samples are supported on the mask."""
+
+    v: jnp.ndarray  # [Np, m] orthonormal columns, zero rows off support
+    q: jnp.ndarray  # [m] > 0 deflated eigenvalues
+    tau: jnp.ndarray  # scalar bulk eigenvalue scale
+    mask: jnp.ndarray  # [Np] 1.0 support / 0.0 padding
+
+    def apply(self, x):
+        squeeze = x.ndim == 1
+        xx = x[:, None] if squeeze else x
+        w = jnp.matmul(self.v.T, xx, precision=_HIGHEST)
+        on = xx / self.tau + jnp.matmul(
+            self.v, (1.0 / self.q - 1.0 / self.tau)[:, None] * w,
+            precision=_HIGHEST,
+        )
+        out = jnp.where(self.mask[:, None] > 0, on, xx)
+        return out[:, 0] if squeeze else out
+
+    def logdet(self):
+        m = self.v.shape[1]
+        n_sup = jnp.sum(self.mask)
+        return jnp.sum(jnp.log(self.q)) + (n_sup - m) * jnp.log(self.tau)
+
+    def sample(self, key, num_probes: int):
+        z = self.mask[:, None] * jax.random.rademacher(
+            key, (self.v.shape[0], num_probes), jnp.float32
+        )
+        w = jnp.matmul(self.v.T, z, precision=_HIGHEST)
+        return jnp.sqrt(self.tau) * z + jnp.matmul(
+            self.v, (jnp.sqrt(self.q) - jnp.sqrt(self.tau))[:, None] * w,
+            precision=_HIGHEST,
+        )
+
+    def unit_sample(self, key, num_probes: int):
+        z = jax.random.rademacher(
+            key, (self.v.shape[0], num_probes), jnp.float32
+        )
+        return self.mask[:, None] * z
+
+    def tree_flatten(self):
+        return (self.v, self.q, self.tau, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node_class(MaskedDeflationPrecond)
+
+
+def make_deflation_precond(eigvec, q, tau, mask=None):
     """Deflation preconditioner from m known (orthonormal) eigenvectors of
     the operator with eigenvalues ``q`` and bulk scale ``tau`` (e.g. the
     geometric mean of the remaining spectrum's endpoints). All inputs are
-    stop_gradient-ed."""
-    return DeflationPrecond(
-        v=jax.lax.stop_gradient(eigvec),
-        q=jnp.maximum(jax.lax.stop_gradient(q), 1e-20),
-        tau=jnp.reshape(jax.lax.stop_gradient(tau), ()),
-    )
+    stop_gradient-ed. With ``mask`` (padded row spaces — mesh kernels, where
+    ``eigvec`` rows are embedded at support rows and zero elsewhere) returns
+    the :class:`MaskedDeflationPrecond` form."""
+    v = jax.lax.stop_gradient(eigvec)
+    q = jnp.maximum(jax.lax.stop_gradient(q), 1e-20)
+    tau = jnp.reshape(jax.lax.stop_gradient(tau), ())
+    if mask is not None:
+        return MaskedDeflationPrecond(
+            v=v, q=q, tau=tau, mask=jax.lax.stop_gradient(mask)
+        )
+    return DeflationPrecond(v=v, q=q, tau=tau)
