@@ -162,40 +162,25 @@ def graph_from_edges(rows, cols, sqdist, num_nodes) -> SparseGraph:
     )
 
 
-def build_graph(x, nearest_neighbors: int, knn_backend: str = "device") -> SparseGraph:
-    """kNN graph with the reference's exact construction semantics
-    (search k incl. self, drop self column, triu-orient, mean-coalesce).
+def symmetrize_knn_edges(sqd, idx, num_nodes: int, x=None) -> SparseGraph:
+    """Shared tail of every graph builder: drop the self column, orient
+    upper-triangular, mean-coalesce, assemble (reference
+    ``utils/nearest_neighbors.py:42-51`` semantics). ``sqd``/``idx`` are the
+    raw [N, k] self-query search results (self-match in column 0).
 
-    knn_backend: 'device' runs the MXU-tiled search on the accelerator;
-    'host' uses the native C++ (or numpy) exact kNN — preferable when the
-    accelerator sits behind a high-latency link or is busy; 'ivf' trains an
-    inverted-file coarse quantizer on device and searches approximately
-    (the reference's IndexIVFFlat regime for large N,
-    ``utils/nearest_neighbors.py:12,23-25``).
-    """
-    if knn_backend == "host":
-        from ..utils.native import knn_search_host
-
-        xh = np.asarray(x, np.float32)
-        sqd_h, idx_h = knn_search_host(xh, xh, nearest_neighbors)
-        sqd, idx = sqd_h, idx_h
-        x = jnp.asarray(xh)
-    elif knn_backend == "ivf":
-        from .knn import ivf_build, ivf_search
-
-        x = jnp.asarray(x, jnp.float32)
-        index = ivf_build(x)
-        nprobe = max(16, index.nlist // 4)
-        sqd, idx = ivf_search(
-            index, x, nearest_neighbors, nprobe=nprobe, self_query=True
-        )
-    else:
-        x = jnp.asarray(x, jnp.float32)
-        sqd, idx = knn_search(x, x, nearest_neighbors, self_query=True)
-    n = x.shape[0]
-    sqd = np.asarray(sqd[:, 1:])
-    idx = np.asarray(idx[:, 1:])
-    k_eff = nearest_neighbors - 1
+    ``x`` (the point coordinates): when given, the stored edge values are
+    RECOMPUTED exactly as ||x_r - x_c||^2 by coordinate differencing. The
+    search computes distances as |q|^2 + |x|^2 - 2 q.x — one f32 matmul,
+    which at high sampling density cancels catastrophically (at 1M points
+    on a unit curve the true squared spacing ~4e-11 sits 10 orders below
+    the |q|^2 ~ 1 terms, so every returned distance quantizes to 0 and the
+    graph bandwidth degenerates). Differencing first is exact at any
+    density; the search's values are used only for neighbor SELECTION and
+    the +inf missing-slot mask."""
+    n = int(num_nodes)
+    sqd = np.asarray(sqd)[:, 1:]
+    idx = np.asarray(idx)[:, 1:]
+    k_eff = sqd.shape[1]
     rows = np.repeat(np.arange(n, dtype=np.int64), k_eff)
     cols = idx.reshape(-1).astype(np.int64)
     vals = sqd.reshape(-1)
@@ -212,4 +197,54 @@ def build_graph(x, nearest_neighbors: int, knn_backend: str = "device") -> Spars
     r2 = np.where(flip, cols, rows)
     c2 = np.where(flip, rows, cols)
     ur, uc, uv = coalesce_mean(r2, c2, vals, n)
+    if x is not None:
+        xh = np.asarray(x, np.float32)
+        d = xh[ur] - xh[uc]
+        uv = np.einsum("ij,ij->i", d, d).astype(np.float32)
     return graph_from_edges(ur, uc, uv, n)
+
+
+def build_graph(
+    x,
+    nearest_neighbors: int,
+    knn_backend: str = "device",
+    ivf_nlist: int = None,
+    ivf_nprobe: int = None,
+) -> SparseGraph:
+    """kNN graph with the reference's exact construction semantics
+    (search k incl. self, drop self column, triu-orient, mean-coalesce).
+
+    knn_backend: 'device' runs the MXU-tiled search on the accelerator;
+    'host' uses the native C++ (or numpy) exact kNN — preferable when the
+    accelerator sits behind a high-latency link or is busy; 'ivf' trains an
+    inverted-file coarse quantizer on device and searches approximately
+    (the reference's IndexIVFFlat regime for large N,
+    ``utils/nearest_neighbors.py:12,23-25``). ``ivf_nlist``/``ivf_nprobe``
+    override the IVF sizing (default: FAISS-recipe nlist, nprobe=nlist/4 —
+    conservative-recall; at million-node scale pass nlist ~ 4 sqrt(N),
+    nprobe ~ 32 to keep the candidate sweep a few percent of the database).
+    """
+    if knn_backend == "host":
+        from ..utils.native import knn_search_host
+
+        xh = np.asarray(x, np.float32)
+        sqd_h, idx_h = knn_search_host(xh, xh, nearest_neighbors)
+        sqd, idx = sqd_h, idx_h
+        x = jnp.asarray(xh)
+    elif knn_backend == "ivf":
+        from .knn import ivf_build, ivf_search
+
+        x = jnp.asarray(x, jnp.float32)
+        index = ivf_build(x, nlist=ivf_nlist)
+        nprobe = (
+            ivf_nprobe if ivf_nprobe is not None else max(16, index.nlist // 4)
+        )
+        sqd, idx = ivf_search(
+            index, x, nearest_neighbors, nprobe=nprobe, self_query=True
+        )
+    else:
+        x = jnp.asarray(x, jnp.float32)
+        sqd, idx = knn_search(x, x, nearest_neighbors, self_query=True)
+    return symmetrize_knn_edges(
+        np.asarray(sqd), np.asarray(idx), x.shape[0], x=np.asarray(x)
+    )

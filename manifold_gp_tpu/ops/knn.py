@@ -264,7 +264,6 @@ def ivf_build(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "self_query", "block_size"))
 def ivf_search(
     index: IVFIndex,
     queries,
@@ -272,6 +271,7 @@ def ivf_search(
     nprobe: int = 8,
     self_query: bool = False,
     block_size: int = 256,
+    queries_per_dispatch: int = 131072,
 ):
     """Approximate L2 top-k over the nprobe nearest posting lists.
 
@@ -279,16 +279,54 @@ def ivf_search(
     cluster sizes exactly as for FAISS IVF. ``self_query`` pins the
     self-match to column 0 (the query's own list is always its nearest
     centroid, so the self candidate is always present).
+
+    The query set is processed in host-level chunks of
+    ``queries_per_dispatch`` rows, one jitted dispatch each (identical
+    results — the chunks are independent): a single million-query dispatch
+    is a multi-minute XLA program that tunneled TPU workers are liable to
+    kill, and chunking also bounds the live candidate-gather footprint.
     """
     q = jnp.asarray(queries, jnp.float32)
-    nprobe = min(nprobe, index.nlist)
+    nq = q.shape[0]
+    if nq > queries_per_dispatch:
+        outs = []
+        for s in range(0, nq, queries_per_dispatch):
+            # self_query indices are global: the pinning compares candidate
+            # ids against global query row ids, so pass the row offset.
+            outs.append(
+                _ivf_search_jit(
+                    index, q[s : s + queries_per_dispatch], k,
+                    min(nprobe, index.nlist), self_query, block_size, s,
+                )
+            )
+        return (
+            jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0),
+        )
+    return _ivf_search_jit(
+        index, q, k, min(nprobe, index.nlist), self_query, block_size, 0
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "self_query", "block_size")
+)
+def _ivf_search_jit(
+    index: IVFIndex,
+    q,
+    k: int,
+    nprobe: int,
+    self_query: bool,
+    block_size: int,
+    row_offset,
+):
     db, cent = index.database, index.centroids
     cn = jnp.sum(cent * cent, axis=-1)
 
     qp, nq = _pad_rows(q, block_size)
     nb = qp.shape[0] // block_size
     qb = qp.reshape(nb, block_size, -1)
-    row_base = jnp.arange(nb) * block_size
+    row_base = jnp.int32(row_offset) + jnp.arange(nb) * block_size
 
     def one_block(args):
         blk, base = args
