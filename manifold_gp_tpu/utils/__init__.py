@@ -1,3 +1,4 @@
+from .cache import cached_eval_basis, cached_graph, clear_cache
 from .checkpoint import (
     load_params,
     load_training_state,
@@ -19,6 +20,9 @@ from .sampling import grid_uniform, sample_posterior
 from .train import ReduceLROnPlateau, manifold_informed_train, vanilla_train
 
 __all__ = [
+    "cached_eval_basis",
+    "cached_graph",
+    "clear_cache",
     "MetricsRecorder",
     "phase_timer",
     "profile_trace",

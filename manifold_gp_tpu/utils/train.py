@@ -83,6 +83,8 @@ def _train_loop(
     resume: bool = True,
     callback_key: Optional[list] = None,
     debug: bool = False,
+    aux_fn=None,
+    aux_period: Optional[int] = None,
 ):
     """Chunked training driver.
 
@@ -96,6 +98,15 @@ def _train_loop(
     ``callback_key``: optional single-element list holding the PRNG key the
     ``on_epoch_end`` closure consumes; it is saved in (and restored from)
     checkpoints so resumed runs replay the callback's randomness exactly.
+
+    ``aux_fn(params) -> aux``: optional epoch-scoped auxiliary state rebuilt
+    every ``aux_period`` epochs and passed to ``loss_fn(params, key, aux)``
+    as a jit ARGUMENT of the chunk (never a baked closure constant — a
+    rebuilt aux must actually reach the compiled program). Used for
+    preconditioners cached across epochs (cfg ``precond_refresh``): they are
+    stop_gradient-ed estimator state, so staleness affects iteration counts
+    and estimator concentration, never gradients. Chunks are cut at refresh
+    boundaries.
     """
     # torch.optim.Adam semantics: L2 decay added to the gradient *before*
     # the Adam moments, then the lr scaling. lr is a traced scan-carry value
@@ -124,29 +135,38 @@ def _train_loop(
     ]
     tracked = [(n, fn) for n, raw, fn in tracked if raw in params]
 
-    def epoch_body(carry, _):
-        params, opt_state, key, lr_c, sstate = carry
-        key, sub = jax.random.split(key)
-        loss, grads = jax.value_and_grad(loss_fn)(params, sub)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(
-            params, jax.tree.map(lambda u: -lr_c * u, updates)
-        )
-        out = {"loss": loss, "lr": lr_c}
-        for name, fn in tracked:
-            out[name] = jnp.reshape(fn(params), ())
-        if sched_cfg is not None:
-            lr_next, sstate = _sched_update(sched_cfg, loss, lr_c, sstate)
-        else:
-            lr_next = lr_c
-        return (params, opt_state, key, lr_next, sstate), out
+    def make_epoch_body(aux):
+        def epoch_body(carry, _):
+            params, opt_state, key, lr_c, sstate = carry
+            key, sub = jax.random.split(key)
+            if aux_fn is not None:
+                loss, grads = jax.value_and_grad(loss_fn)(params, sub, aux)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(params, sub)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(
+                params, jax.tree.map(lambda u: -lr_c * u, updates)
+            )
+            out = {"loss": loss, "lr": lr_c}
+            for name, fn in tracked:
+                out[name] = jnp.reshape(fn(params), ())
+            if sched_cfg is not None:
+                lr_next, sstate = _sched_update(sched_cfg, loss, lr_c, sstate)
+            else:
+                lr_next = lr_c
+            return (params, opt_state, key, lr_next, sstate), out
+
+        return epoch_body
 
     import functools
 
     @functools.partial(jax.jit, static_argnames=("length",))
-    def run_chunk(params, opt_state, key, lr_c, sstate, length):
+    def run_chunk(params, opt_state, key, lr_c, sstate, aux, length):
         carry, outs = jax.lax.scan(
-            epoch_body, (params, opt_state, key, lr_c, sstate), None, length=length
+            make_epoch_body(aux),
+            (params, opt_state, key, lr_c, sstate),
+            None,
+            length=length,
         )
         return carry, outs
 
@@ -174,7 +194,12 @@ def _train_loop(
         if (checkpoint_path and checkpoint_every)
         else None
     )
+    aux = None
+    aux_next = epoch  # rebuild immediately on entry (incl. after a resume)
     while epoch < total and not stop:
+        if aux_fn is not None and epoch >= aux_next:
+            aux = aux_fn(params)
+            aux_next = epoch + (aux_period or total)
         length = min(
             period - (epoch % period) if period else total,
             total - epoch,
@@ -182,8 +207,10 @@ def _train_loop(
         )
         if next_ckpt is not None:
             length = min(length, next_ckpt - epoch)
+        if aux_fn is not None:
+            length = min(length, aux_next - epoch)
         (params, opt_state, key, cur_lr, sched_state), outs = run_chunk(
-            params, opt_state, key, cur_lr, sched_state, length=length
+            params, opt_state, key, cur_lr, sched_state, aux, length=length
         )
         outs = {k: list(map(float, v)) for k, v in outs.items()}
         if debug:
@@ -257,6 +284,7 @@ def manifold_informed_train(
     checkpoint_every=None,
     resume: bool = True,
     debug: bool = False,
+    precond_refresh: Optional[int] = None,
 ):
     """IMGP hyperparameter training (reference train_model.py:49-109).
 
@@ -264,6 +292,15 @@ def manifold_informed_train(
     (full optimizer/scheduler/PRNG state every k epochs; restart picks up
     where the last checkpoint left off). Returns (params, final_loss,
     history).
+
+    ``precond_refresh``: rebuild the (config-selected) preconditioner every
+    this many epochs and reuse it in between, instead of rebuilding inside
+    every loss evaluation — the GPyTorch-parity amortization (GPyTorch
+    builds its preconditioner once per operator instantiation). Material
+    for ``precond_type='pivchol'`` at large N, where construction is
+    ``precond_rank`` sequential full-operator matvecs. The cached object is
+    stop_gradient-ed, so staleness affects only CG iteration counts and
+    quadrature concentration — gradients stay unbiased.
     """
     # The callback PRNG chain lives in a 1-element holder so _train_loop can
     # checkpoint/restore it (resume then replays renormalization probes
@@ -287,10 +324,19 @@ def manifold_informed_train(
             print("Update covariance normalization at epoch: ", epoch)
         return model.set_outputscale(p, 1.0 / avg_var(p, sub))
 
+    if precond_refresh is not None:
+        loss_fn = lambda p, k, aux: model.mll_loss(  # noqa: E731
+            p, key=k, precond_override=aux
+        )
+        aux_fn = model.build_precond
+    else:
+        loss_fn = lambda p, k: model.mll_loss(p, key=k)  # noqa: E731
+        aux_fn = None
+
     params, loss_val, history = _train_loop(
         model,
         params,
-        lambda p, k: model.mll_loss(p, key=k),
+        loss_fn,
         lr,
         weight_decay,
         max_iter,
@@ -306,6 +352,8 @@ def manifold_informed_train(
         resume=resume,
         callback_key=cb_key,
         debug=debug,
+        aux_fn=aux_fn,
+        aux_period=precond_refresh,
     )
 
     if model.use_outputscale:
