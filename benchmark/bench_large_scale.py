@@ -30,23 +30,30 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def synthetic_manifold_graph(n: int, k: int = 16, seed: int = 0):
-    """Banded kNN graph over a noisy closed 3D curve.
-
-    Nodes are ordered along the curve; node i connects to i+1 .. i+k/2
-    (mod n) with true squared point distances — the same band structure an
-    exact kNN search recovers on a densely sampled curve, built in O(nk)
-    host time instead of O(n^2).
-    """
-    from manifold_gp_tpu.ops.graph import graph_from_edges
-
+def curve_points(n: int, seed: int = 0):
+    """Noisy closed 3D curve, densely sampled (the 1M synthetic manifold)."""
     rng = np.random.default_rng(seed)
     t = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
     x = np.stack(
         [np.cos(t), np.sin(t), 0.3 * np.sin(2 * t)], axis=1
     ).astype(np.float32)
     x += (0.1 / n) * rng.standard_normal(x.shape).astype(np.float32)
+    return x
 
+
+def synthetic_manifold_graph(n: int, k: int = 16, seed: int = 0):
+    """ESCAPE HATCH: procedurally banded kNN edge list over the curve.
+
+    Node i connects to i+1 .. i+k/2 (mod n) with true squared point
+    distances — the band structure an exact kNN search recovers on a densely
+    sampled curve, built in O(nk) host time. Since round 4 the DEFAULT bench
+    path builds the graph with a real search (``real_manifold_graph``); this
+    remains only for isolating SpMV/CG timing from build cost
+    (``--graph procedural``).
+    """
+    from manifold_gp_tpu.ops.graph import graph_from_edges
+
+    x = curve_points(n, seed)
     half = max(1, k // 2)
     rows = np.repeat(np.arange(n, dtype=np.int64), half)
     offs = np.tile(np.arange(1, half + 1, dtype=np.int64), n)
@@ -58,6 +65,27 @@ def synthetic_manifold_graph(n: int, k: int = 16, seed: int = 0):
     return graph_from_edges(r2, c2, sqd, n), x
 
 
+def real_manifold_graph(n: int, k: int = 16, seed: int = 0,
+                        backend: str = None):
+    """The REAL build over the same curve points: exact MXU brute force below
+    200k nodes, device IVF (nlist ~ 4 sqrt(N), nprobe 32) above — the one
+    step no large-N user can skip (round-3 VERDICT item 1). Returns
+    (graph, x, build_seconds, backend)."""
+    from manifold_gp_tpu.ops.graph import build_graph
+
+    x = curve_points(n, seed)
+    if backend is None:
+        backend = "ivf" if n > 200_000 else "device"
+    t0 = time.perf_counter()
+    if backend == "ivf":
+        nlist = 2 ** int(round(np.log2(4.0 * np.sqrt(n))))
+        graph = build_graph(x, k, knn_backend="ivf", ivf_nlist=nlist,
+                            ivf_nprobe=32)
+    else:
+        graph = build_graph(x, k, knn_backend=backend)
+    return graph, x, time.perf_counter() - t0, backend
+
+
 def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32"):
     import jax
     import jax.numpy as jnp
@@ -66,7 +94,11 @@ def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32"):
     from manifold_gp_tpu.ops.cg import cg_raw
     from manifold_gp_tpu.ops.dia import DiaLayout
     from manifold_gp_tpu.ops.laplacian import laplacian_coeffs
-    from manifold_gp_tpu.ops.matern import make_matern_precision_matvec
+    from manifold_gp_tpu.ops.matern import (
+        make_matern_precision_matvec,
+        make_matern_precision_matvec_operand,
+        matern_precision_operands,
+    )
     from manifold_gp_tpu.ops.sparse_formats import build_layout, permute_in
 
     coeffs = laplacian_coeffs(graph, eps)
@@ -89,39 +121,68 @@ def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32"):
 
     # Every large array (graph, layout, coefficients) is a jit ARGUMENT, not
     # a closure constant — the tunneled backend ships program constants with
-    # the compile request, which has a hard size limit.
+    # the compile request, which has a hard size limit. The panels are
+    # assembled EAGERLY outside the timed region and passed as jit arguments,
+    # exactly like the sharded bench path (round-3 ADVICE item 1: the ratio
+    # table must compare equal work).
     panel_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
 
-    @jax.jit
-    def run_cg(graph_, layout_, c, b):
-        mv = make_matern_precision_matvec(
-            graph_, c, nu, ls, "randomwalk",
-            block=(layout_, panel_dtype) if layout_ is not None else None,
-            permuted_io=layout_ is not None, pallas=pallas,
+    if layout is not None:
+        qblocks, dsq_p = matern_precision_operands(
+            layout, coeffs, nu, ls, dtype=panel_dtype
         )
-        # tol=0 forces exactly cg_iters iterations -> deterministic matvec count
-        return cg_raw(mv, b, tol=0.0, max_iter=cg_iters)
+        mv_op = make_matern_precision_matvec_operand(
+            layout, nu, "randomwalk", pallas=pallas
+        )
+
+        @jax.jit
+        def run_cg(qblocks_, dsq_p_, b):
+            # tol=0 forces exactly cg_iters iterations -> deterministic count
+            return cg_raw(
+                lambda v: mv_op(qblocks_, dsq_p_, v), b, tol=0.0,
+                max_iter=cg_iters, with_info=True,
+            )
+
+        run = lambda b: run_cg(qblocks, dsq_p, b)  # noqa: E731
+    else:
+
+        @jax.jit
+        def run_cg(graph_, c, b):
+            mv = make_matern_precision_matvec(graph_, c, nu, ls, "randomwalk")
+            return cg_raw(mv, b, tol=0.0, max_iter=cg_iters, with_info=True)
+
+        run = lambda b: run_cg(graph, coeffs, b)  # noqa: E731
 
     rng = np.random.default_rng(1)
     b = jnp.asarray(rng.standard_normal((n, batch)).astype(np.float32))
     if layout is not None:
         b = permute_in(layout, b)
-    x = run_cg(graph, layout, coeffs, b)
+    x, it0 = run(b)
     float(x[0, 0])  # completion fence (block_until_ready unreliable on tunnel)
     reps = 2
     t0 = time.perf_counter()
     out = b
     for _ in range(reps):
-        out = run_cg(graph, layout, coeffs, out)
+        out, iters = run(out)
     float(out[0, 0])
     dt = time.perf_counter() - t0
+    # A non-finite CG iterate EXITS the while_loop immediately (res > tol is
+    # False for NaN), silently inflating the rate by orders of magnitude —
+    # this bit the first real-IVF 1M row. Demand the full iteration count
+    # and a finite result.
+    assert int(it0) == cg_iters and int(iters) == cg_iters, (
+        f"CG exited early ({int(it0)}/{int(iters)} of {cg_iters} iters): "
+        "non-finite iterates — operator scale overflow; see main()'s "
+        "unit-bandwidth rescaling"
+    )
+    assert np.all(np.isfinite(np.asarray(out[:4096])))
     # one Q matvec per CG iteration (+1 unaccounted init) = nu Laplacian applies
     matvecs = reps * cg_iters * nu * batch
     return matvecs / dt
 
 
 def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
-                  dtype="float32", force_scan=False):
+                  dtype="float32", force_scan=False, schedule="auto"):
     """Row-sharded CG throughput. Rides the fused block-ELL mesh path
     (parallel/block_spmv: sharded panels + Pallas kernel / block einsum on
     the all-gathered operand) whenever the layout builds; ``force_scan``
@@ -163,12 +224,13 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
             tables, coeffs, nu, ls, dtype=panel_dtype
         )
         mv_op = make_sharded_matern_precision_matvec_operand(
-            tables, nu, "randomwalk", impl=impl
+            tables, nu, "randomwalk", impl=impl, schedule=schedule
         )
         mv = None
         n_pad = tables.rows
         b = tables.embed_rows(b_host)
-        desc = f"fused(S={tables.s_max}, impl={impl}, dtype={dtype})"
+        desc = (f"fused(S={tables.s_max}, impl={impl}, dtype={dtype}, "
+                f"schedule={schedule})")
     else:
         mv, n_pad = make_sharded_matern_precision_matvec(
             graph, mesh, coeffs, nu, ls, "randomwalk"
@@ -192,7 +254,8 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
         @jax.jit
         def run_cg(qblocks_, dsq_p_, b_):
             return cg_raw(
-                lambda v: mv_op(qblocks_, dsq_p_, v), b_, tol=0.0, max_iter=cg_iters
+                lambda v: mv_op(qblocks_, dsq_p_, v), b_, tol=0.0,
+                max_iter=cg_iters, with_info=True,
             )
 
         run = lambda b_: run_cg(qblocks, dsq_p, b_)
@@ -200,19 +263,24 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
 
         @jax.jit
         def run_cg(b_):
-            return cg_raw(mv, b_, tol=0.0, max_iter=cg_iters)
+            return cg_raw(mv, b_, tol=0.0, max_iter=cg_iters, with_info=True)
 
         run = run_cg
 
-    x = run(b)
+    x, it0 = run(b)
     float(x[0, 0])
     reps = 2
     t0 = time.perf_counter()
     out = b
     for _ in range(reps):
-        out = run(out)
+        out, iters = run(out)
     float(out[0, 0])
     dt = time.perf_counter() - t0
+    assert int(it0) == cg_iters and int(iters) == cg_iters, (
+        f"CG exited early ({int(it0)}/{int(iters)} of {cg_iters}): operator "
+        "scale overflow; see main()'s rescaling"
+    )
+    assert np.all(np.isfinite(np.asarray(out[:4096])))
     matvecs = reps * cg_iters * nu * batch
     return matvecs / dt
 
@@ -275,18 +343,9 @@ def bench_train_step(graph, x, eps, nu, num_probes, dtype="float32"):
     from manifold_gp_tpu.kernels import RiemannMaternKernel
     from manifold_gp_tpu.models import RiemannGP
 
-    import dataclasses
-
     n = graph.num_nodes
-    # Scale coordinates so the graph bandwidth is O(1): at 1M points on a
-    # unit curve the spacing is ~1e-6, so eps ~ 1e-5 and the Laplacian diag
-    # ~ 1/eps^2 ~ 1e10 overflows the f32 truncated-Neumann noise wrapper
-    # (Q^3 terms). Same f32 characteristic as the reference's operator stack
-    # (see PARITY.md's dragon note); unit-bandwidth scaling is the standard
-    # conditioning practice.
-    graph = dataclasses.replace(
-        graph, sqdist=graph.sqdist / jnp.float32(eps) ** 2
-    )
+    # (unit-bandwidth coordinate scaling now happens once in main() for all
+    # bench modes; eps arrives as 1.0 with sqdist pre-scaled)
     x = x / eps
     eps = 1.0
     rng = np.random.default_rng(0)
@@ -338,6 +397,13 @@ def main():
     ap.add_argument("--mesh-scan", action="store_true",
                     help="with --mesh: force the round-2 per-column gather "
                          "scan instead of the fused block-ELL mesh path")
+    ap.add_argument("--mesh-schedule",
+                    choices=["auto", "resident", "streaming"],
+                    default="auto",
+                    help="with --mesh (pallas impl): force the local-matvec "
+                         "kernel schedule instead of the byte-count dispatch "
+                         "— the round-4 measurement hook for pinning the 1M "
+                         "mesh residual")
     ap.add_argument("--basis", type=int, default=0,
                     help="instead of CG: time LOBPCG basis extraction of "
                          "this many modes")
@@ -350,15 +416,45 @@ def main():
                     default="float32",
                     help="SpMV panel dtype (bfloat16 halves the HBM panel "
                          "stream; accuracy bounds in tests/test_bf16_solve.py)")
+    ap.add_argument("--graph", choices=["real", "procedural", "exact", "ivf"],
+                    default="real",
+                    help="graph source: 'real' runs an actual kNN build "
+                         "(exact brute force <=200k, device IVF above) and "
+                         "reports its seconds; 'exact'/'ivf' force a "
+                         "backend; 'procedural' is the escape hatch that "
+                         "injects the banded edge list without a search "
+                         "(isolates SpMV timing from build cost)")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
-    graph, x = synthetic_manifold_graph(args.n, args.k)
-    print(f"# graph build: {time.perf_counter() - t0:.1f}s, "
-          f"M={graph.num_edges}", file=sys.stderr)
+    if args.graph == "procedural":
+        graph, x = synthetic_manifold_graph(args.n, args.k)
+        build_s, build_backend = time.perf_counter() - t0, "procedural"
+    else:
+        backend = {"real": None, "exact": "device", "ivf": "ivf"}[args.graph]
+        graph, x, build_s, build_backend = real_manifold_graph(
+            args.n, args.k, backend=backend
+        )
+    print(f"# graph build[{build_backend}]: {build_s:.1f}s, "
+          f"M={graph.num_edges}, max_degree={graph.max_degree}",
+          file=sys.stderr)
     eps = args.eps
     if eps is None:
         eps = 2.0 * float(np.sqrt(np.median(np.asarray(graph.sqdist))))
+    # Unit-bandwidth coordinate scaling, once, for every mode: at 1M points
+    # on a unit curve eps ~ 1e-5, so diag(L) ~ 1/eps^2 ~ 1e10 and a nu=2
+    # noisy apply overflows f32 — and a NaN CG iterate EXITS the while_loop
+    # early (res > tol is False for NaN), silently inflating measured rates
+    # (this bit the first real-IVF 1M row). Same conditioning practice as
+    # the reference's operator stack needs (PARITY.md dragon note); pure
+    # rescaling, zero effect on sparsity or kernel throughput.
+    import dataclasses as _dc
+
+    graph = _dc.replace(
+        graph, sqdist=graph.sqdist / np.float32(eps) ** 2
+    )
+    x = x / eps
+    eps = 1.0
 
     if args.train_step:
         import json
@@ -367,7 +463,8 @@ def main():
         print(json.dumps({
             "metric": "train_step_seconds", "value": round(dt, 2),
             "unit": "s/step", "n": args.n, "probes": args.probes,
-            "dtype": args.dtype,
+            "dtype": args.dtype, "graph": build_backend,
+            "graph_build_s": round(build_s, 2),
         }))
         return
     if args.basis:
@@ -377,13 +474,15 @@ def main():
         print(json.dumps({
             "metric": "lobpcg_basis_seconds", "value": round(dt, 2),
             "unit": "s", "n": args.n, "modes": args.basis,
-            "iters": args.basis_iters,
+            "iters": args.basis_iters, "graph": build_backend,
+            "graph_build_s": round(build_s, 2),
         }))
         return
     if args.mesh:
         rate = bench_sharded(
             graph, eps, args.nu, args.ls, args.batch, args.cg_iters, args.mesh,
             dtype=args.dtype, force_scan=args.mesh_scan,
+            schedule=args.mesh_schedule,
         )
         label = f"sharded_cg_matvecs_per_s_mesh{args.mesh}"
     else:
@@ -397,6 +496,7 @@ def main():
     print(json.dumps({
         "metric": label, "value": round(rate, 1), "unit": "matvec/s",
         "n": args.n, "k": args.k, "batch": args.batch, "dtype": args.dtype,
+        "graph": build_backend, "graph_build_s": round(build_s, 2),
     }))
 
 

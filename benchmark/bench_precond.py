@@ -35,6 +35,13 @@ def main():
                          "an f64 oracle — plain quadrature vs the mBCG "
                          "preconditioned quadrature (caps --n at 2000 for "
                          "the dense oracle)")
+    ap.add_argument("--construction", action="store_true",
+                    help="instead of CG iterations: time the pivoted-"
+                         "Cholesky preconditioner CONSTRUCTION (rank "
+                         "sequential [n,1] matvecs — ~rank HBM panel sweeps "
+                         "on the streaming path; round-4 VERDICT item 7) on "
+                         "the 1M-bench synthetic-curve operator")
+    ap.add_argument("--rank", type=int, default=15)
     args = ap.parse_args()
 
     import jax
@@ -53,6 +60,8 @@ def main():
 
     if args.logdet:
         return bench_logdet(args)
+    if args.construction:
+        return bench_construction(args)
 
     rng = np.random.default_rng(0)
     # Mixed-density clusters (per-cluster noise scales 0.1..0.8): sampling
@@ -209,6 +218,70 @@ def bench_logdet(args):
         "condition_number": float(cond),
         "n": n, "eps": eps, "nu": nu,
         "probes": probes, "lanczos_steps": steps,
+    }))
+
+
+
+
+def bench_construction(args):
+    """Wall-clock of make_pivchol_precond on the large-scale curve operator
+    (same graph family as bench_large_scale): rank sequential full-operator
+    matvecs. The row that motivates cfg-level amortization
+    (manifold_informed_train's precond_refresh)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    sys.path.insert(0, "benchmark")
+    from bench_large_scale import synthetic_manifold_graph
+    from manifold_gp_tpu.ops.laplacian import laplacian_coeffs
+    from manifold_gp_tpu.ops.matern import (
+        make_matern_precision_matvec,
+        make_noisy_matvec,
+        matern_precision_diag,
+        noisy_scaled_diag,
+    )
+    from manifold_gp_tpu.ops.pivchol import make_pivchol_precond
+    from manifold_gp_tpu.ops.sparse_formats import build_layout
+
+    graph, x = synthetic_manifold_graph(args.n, args.k)
+    eps = 2.0 * float(np.sqrt(np.median(np.asarray(graph.sqdist))))
+    import dataclasses
+
+    graph = dataclasses.replace(graph, sqdist=graph.sqdist / jnp.float32(eps) ** 2)
+    eps = 1.0
+    coeffs = laplacian_coeffs(graph, eps)
+    layout = build_layout(graph)
+    pallas = layout is not None and jax.devices()[0].platform == "tpu"
+    print(f"# construction: N={args.n} rank={args.rank} "
+          f"layout={type(layout).__name__} pallas={pallas}", file=sys.stderr)
+
+    @jax.jit
+    def build(c):
+        mv = make_noisy_matvec(
+            make_matern_precision_matvec(
+                graph, c, args.nu, 1.0, "randomwalk",
+                block=(layout, None) if layout is not None else None,
+                pallas=pallas,
+            ),
+            1e-2,
+        )
+        d = noisy_scaled_diag(
+            matern_precision_diag(graph, c, args.nu, 1.0, "randomwalk"),
+            noise=1e-2,
+        )
+        p = make_pivchol_precond(mv, d, args.rank)
+        return p.chol_c
+
+    out = build(coeffs)
+    float(out[0, 0])  # fence
+    t0 = time.perf_counter()
+    out = build(coeffs)
+    float(out[0, 0])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "pivchol_construction_seconds", "value": round(dt, 3),
+        "unit": "s", "n": args.n, "rank": args.rank, "nu": args.nu,
     }))
 
 

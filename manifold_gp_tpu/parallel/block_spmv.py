@@ -272,8 +272,15 @@ from ..ops.pallas_spmv import (  # noqa: E402
 )
 
 
-def _local_matvec(tables, bc, blocks, pv_full, impl: str, interpret: bool):
-    """Local panels x full gathered operand -> local rows [lrb*BLOCK, B]."""
+def _local_matvec(tables, bc, blocks, pv_full, impl: str, interpret: bool,
+                  schedule: str = "auto"):
+    """Local panels x full gathered operand -> local rows [lrb*BLOCK, B].
+
+    ``schedule`` (pallas impl only): "auto" picks resident vs streaming by
+    the exchanged-operand byte count against the single-chip VMEM budget;
+    "resident"/"streaming" force one — the measurement hook for pinning the
+    dispatch rule on the mesh halo window (round-3 VERDICT item 6, where the
+    9% 1M mesh residual was attributed loosely to this choice)."""
     lrb = blocks.shape[0]
     if impl == "einsum":
         grouped = pv_full.reshape(pv_full.shape[0] // BLOCK, BLOCK, -1)
@@ -290,7 +297,12 @@ def _local_matvec(tables, bc, blocks, pv_full, impl: str, interpret: bool):
         return out.reshape(lrb * BLOCK, -1).astype(pv_full.dtype)
     bc_flat = bc.reshape(-1)
     phys = pv_full.shape[0] * max(pv_full.shape[1], BLOCK) * pv_full.dtype.itemsize
-    if phys <= _OPERAND_VMEM_BUDGET:
+    resident = (
+        phys <= _OPERAND_VMEM_BUDGET
+        if schedule == "auto"
+        else schedule == "resident"
+    )
+    if resident:
         return resident_matvec_call(
             bc_flat, blocks, pv_full, s_max=tables.s_max, interpret=interpret
         )
@@ -376,6 +388,7 @@ def make_sharded_block_matvec_ad(
     impl: str = "einsum",
     interpret: bool = False,
     exchange: str = "auto",
+    schedule: str = "auto",
 ):
     """Differentiable row-sharded fused matvec: (blocks, pv) -> L_sym @ pv in
     permuted padded row space ([rows, B] -> [rows, B], both row-sharded).
@@ -389,6 +402,8 @@ def make_sharded_block_matvec_ad(
 
     ``exchange``: "auto" (halo ppermute when the layout admits it, else
     all-gather) or "gather" (force the all-gather schedule).
+    ``schedule``: forwarded to ``_local_matvec`` (pallas resident vs
+    streaming kernel; "auto" dispatches on operand bytes).
     """
     mesh = tables.mesh
     force_gather = exchange == "gather"
@@ -396,7 +411,9 @@ def make_sharded_block_matvec_ad(
     def primal(blocks, pv):
         def body(bc, blk, pvb):
             pv_op, bcl = _exchange(tables, pvb, bc, force_gather)
-            return _local_matvec(tables, bcl, blk, pv_op, impl, interpret)
+            return _local_matvec(
+                tables, bcl, blk, pv_op, impl, interpret, schedule
+            )
 
         # check_vma=False: pallas_call's out_shape carries no vma typing,
         # which the jax>=0.8 shard_map checker would reject.
@@ -439,20 +456,39 @@ def make_sharded_block_matvec_ad(
     return mv
 
 
+def _check_normalization(normalization: str):
+    if normalization not in ("randomwalk", "symmetric"):
+        raise ValueError(
+            "normalization must be 'randomwalk' or 'symmetric', got "
+            f"{normalization!r}"
+        )
+
+
 def sharded_matern_precision_operands(
-    tables: MeshBlockTables, coeffs, nu: int, lengthscale, dtype=None
+    tables: MeshBlockTables,
+    coeffs,
+    nu: int,
+    lengthscale,
+    dtype=None,
+    normalization: str = "randomwalk",
 ):
     """Assemble the per-coeffs operands of the fused mesh Matérn matvec:
     the shift-folded panel buffer [nrb, BLOCK, S*BLOCK] (row-block-sharded)
-    and the permuted sqrt-degree vector [rows].
+    and the permuted sqrt-degree vector [rows] (None for symmetric
+    normalization, which uses no D^{1/2} factors).
 
     Exposed separately so eager callers (benchmarks, repeated solves at
     fixed hyperparameters) can pass both as jit ARGUMENTS — the tunneled
     TPU backend ships closure constants inside the compile request, which
     has a hard size limit the multi-GB panel buffer exceeds."""
+    _check_normalization(normalization)
     shift = 2.0 * nu / jnp.square(jnp.reshape(lengthscale, ()))
     qblocks = assemble_sharded(tables, coeffs.diag + shift, coeffs.triu, dtype=dtype)
-    dsq_p = jnp.sqrt(tables.gather_coeff(coeffs.deg, fill=1.0))
+    dsq_p = (
+        jnp.sqrt(tables.gather_coeff(coeffs.deg, fill=1.0))
+        if normalization == "randomwalk"
+        else None
+    )
     return qblocks, dsq_p
 
 
@@ -462,12 +498,17 @@ def make_sharded_matern_precision_matvec_operand(
     normalization: str = "randomwalk",
     impl: str = "einsum",
     interpret: bool = False,
+    schedule: str = "auto",
 ):
     """Operand-explicit form of the fused mesh Matérn matvec:
     ``matvec(qblocks, dsq_p, v)`` with operands from
-    :func:`sharded_matern_precision_operands`. See
+    :func:`sharded_matern_precision_operands` (``dsq_p`` is ignored — pass
+    None — for symmetric normalization). See
     :func:`make_sharded_matern_precision_matvec_fused` for semantics."""
-    mv_ad = make_sharded_block_matvec_ad(tables, impl=impl, interpret=interpret)
+    _check_normalization(normalization)
+    mv_ad = make_sharded_block_matvec_ad(
+        tables, impl=impl, interpret=interpret, schedule=schedule
+    )
     sharding = tables.node_sharding(2)
 
     def matvec(qblocks, dsq_p, v):
@@ -505,7 +546,7 @@ def make_sharded_matern_precision_matvec_fused(
     degree fill 1.0 keeps the sqrt/mul a no-op there).
     """
     qblocks, dsq_p = sharded_matern_precision_operands(
-        tables, coeffs, nu, lengthscale, dtype=dtype
+        tables, coeffs, nu, lengthscale, dtype=dtype, normalization=normalization
     )
     inner = make_sharded_matern_precision_matvec_operand(
         tables, nu, normalization, impl=impl, interpret=interpret
