@@ -71,9 +71,13 @@ class RiemannKernel:
         self.x = jnp.asarray(x, jnp.float32)
         self.knn = NearestNeighbors(self.x)
         self.nearest_neighbors = int(nearest_neighbors)
-        # ``graph``: optionally inject a prebuilt SparseGraph (e.g. a
-        # procedurally banded graph at million-node scale, or edges from an
-        # external ANN index) instead of the constructor's exact kNN build.
+        # ``graph``: ESCAPE HATCH — inject a prebuilt SparseGraph instead of
+        # the constructor's exact kNN build. The supported large-N builders
+        # are real searches: ops.graph.build_graph(knn_backend="ivf", ...)
+        # (measured at 1M nodes on one chip), parallel.knn.build_graph_sharded
+        # (row-sharded exact search over the mesh), and utils.cache.cached_graph
+        # (keyed on-disk reuse). Synthetic injection (e.g. the benchmark's
+        # procedural band) is for isolating SpMV timing from build cost only.
         self.graph = (
             graph if graph is not None else build_graph(self.x, self.nearest_neighbors)
         )

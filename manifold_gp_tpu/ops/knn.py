@@ -363,15 +363,19 @@ class NearestNeighbors:
     ``search`` and ``graph``."""
 
     def __init__(self, x, use_ivf: bool = False, nlist: int = None,
-                 nprobe: int = None):
+                 nprobe: int = None, mesh=None):
         """use_ivf opts into the approximate inverted-file regime (the
         reference switches to IndexIVFFlat at N >= min_ivf = 5000,
         ``utils/nearest_neighbors.py:12,23-25``; exact search stays the
         default here because the MXU-tiled brute force is fast at the
-        reference's scales)."""
+        reference's scales). ``mesh``: run exact searches row-sharded over
+        the device mesh (parallel.knn — the multi-chip FAISS-equivalent
+        surface); mutually exclusive with use_ivf."""
         self.x = jnp.asarray(x, jnp.float32)
         self.index = None
+        self.mesh = mesh
         if use_ivf:
+            assert mesh is None, "IVF and mesh search are mutually exclusive"
             self.index = ivf_build(self.x, nlist=nlist)
             self.nprobe = (
                 nprobe if nprobe is not None else max(8, self.index.nlist // 8)
@@ -384,6 +388,13 @@ class NearestNeighbors:
         explicitly to override."""
         if self_query is None:
             self_query = queries is self.x
+        if self.mesh is not None:
+            from ..parallel.knn import sharded_knn_search
+
+            return sharded_knn_search(
+                self.x, jnp.asarray(queries, jnp.float32), k, self.mesh,
+                self_query=self_query,
+            )
         if self.index is not None:
             return ivf_search(
                 self.index, jnp.asarray(queries, jnp.float32), k,
@@ -392,7 +403,12 @@ class NearestNeighbors:
         return knn_search(self.x, jnp.asarray(queries, jnp.float32), k, self_query)
 
     def graph(self, k: int):
-        """Symmetric kNN edge list; see ops.graph.build_graph."""
+        """Symmetric kNN edge list; see ops.graph.build_graph /
+        parallel.knn.build_graph_sharded."""
+        if self.mesh is not None:
+            from ..parallel.knn import build_graph_sharded
+
+            return build_graph_sharded(self.x, k, self.mesh)
         from .graph import build_graph
 
         return build_graph(self.x, k)

@@ -141,3 +141,21 @@ def test_sharded_build_feeds_kernel(cloud, mesh):
     l_sh = loss_with(g_sh)
     l_ref = loss_with(None)
     np.testing.assert_allclose(l_sh, l_ref, rtol=1e-5)
+
+
+def test_nearest_neighbors_wrapper_mesh(cloud, mesh):
+    """The NearestNeighbors class surface (reference utils/nearest_neighbors
+    parity) dispatches to the sharded search/build when given a mesh."""
+    from manifold_gp_tpu.ops.knn import NearestNeighbors
+
+    nn_m = NearestNeighbors(cloud, mesh=mesh)
+    nn_1 = NearestNeighbors(cloud)
+    d_m, i_m = nn_m.search(nn_m.x, 6)
+    d_1, i_1 = nn_1.search(nn_1.x, 6)
+    assert_topk_equal(d_m, i_m, d_1, i_1)
+    g_m = nn_m.graph(6)
+    g_1 = nn_1.graph(6)
+    np.testing.assert_array_equal(np.asarray(g_m.rows), np.asarray(g_1.rows))
+    np.testing.assert_allclose(
+        np.asarray(g_m.sqdist), np.asarray(g_1.sqdist), rtol=1e-6, atol=1e-7
+    )
