@@ -68,9 +68,10 @@ def synthetic_manifold_graph(n: int, k: int = 16, seed: int = 0):
 def real_manifold_graph(n: int, k: int = 16, seed: int = 0,
                         backend: str = None):
     """The REAL build over the same curve points: exact MXU brute force below
-    200k nodes, device IVF (nlist ~ 4 sqrt(N), nprobe 32) above — the one
-    step no large-N user can skip (round-3 VERDICT item 1). Returns
-    (graph, x, build_seconds, backend)."""
+    200k nodes, device IVF above (nlist ~ 4 sqrt(N), nprobe 16, 5 kmeans
+    iterations — 0.99 recall at half the sweep cost of nprobe 32, measured
+    at 100k vs exact) — the one step no large-N user can skip (round-3
+    VERDICT item 1). Returns (graph, x, build_seconds, backend)."""
     from manifold_gp_tpu.ops.graph import build_graph
 
     x = curve_points(n, seed)
@@ -80,7 +81,7 @@ def real_manifold_graph(n: int, k: int = 16, seed: int = 0,
     if backend == "ivf":
         nlist = 2 ** int(round(np.log2(4.0 * np.sqrt(n))))
         graph = build_graph(x, k, knn_backend="ivf", ivf_nlist=nlist,
-                            ivf_nprobe=32)
+                            ivf_nprobe=16, ivf_kmeans_iters=5)
     else:
         graph = build_graph(x, k, knn_backend=backend)
     return graph, x, time.perf_counter() - t0, backend

@@ -210,6 +210,7 @@ def build_graph(
     knn_backend: str = "device",
     ivf_nlist: int = None,
     ivf_nprobe: int = None,
+    ivf_kmeans_iters: int = 10,
 ) -> SparseGraph:
     """kNN graph with the reference's exact construction semantics
     (search k incl. self, drop self column, triu-orient, mean-coalesce).
@@ -235,7 +236,7 @@ def build_graph(
         from .knn import ivf_build, ivf_search
 
         x = jnp.asarray(x, jnp.float32)
-        index = ivf_build(x, nlist=ivf_nlist)
+        index = ivf_build(x, nlist=ivf_nlist, kmeans_iters=ivf_kmeans_iters)
         nprobe = (
             ivf_nprobe if ivf_nprobe is not None else max(16, index.nlist // 4)
         )
