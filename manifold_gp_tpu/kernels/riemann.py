@@ -35,7 +35,7 @@ from ..config import DEFAULT_CONFIG, InferenceConfig
 from ..parameters import ConstrainedParam, GreaterThan, Positive
 from ..ops.bump import bump_function
 from ..ops.graph import build_graph
-from ..ops.knn import NearestNeighbors, knn_search
+from ..ops.knn import NearestNeighbors
 from ..ops.eigen import lobpcg_smallest
 from ..ops.laplacian import (
     gershgorin_bound,
@@ -67,9 +67,22 @@ class RiemannKernel:
         cfg: InferenceConfig = DEFAULT_CONFIG,
         mesh=None,
         graph=None,
+        knn_index=None,
     ):
         self.x = jnp.asarray(x, jnp.float32)
-        self.knn = NearestNeighbors(self.x)
+        # ``knn_index``: an ops.knn.NearestNeighbors over the SAME points to
+        # serve the kernel's out-of-sample searches (features_test,
+        # modulation) — e.g. NearestNeighbors(x, use_ivf=True) at large N
+        # (brute force per prediction call is the scalability cliff there)
+        # or NearestNeighbors(x, mesh=mesh) for the row-sharded search.
+        # Default: exact single-device search.
+        if knn_index is not None:
+            assert knn_index.x.shape == jnp.asarray(x, jnp.float32).shape, (
+                "knn_index must be built over the kernel's own points"
+            )
+            self.knn = knn_index
+        else:
+            self.knn = NearestNeighbors(self.x)
         self.nearest_neighbors = int(nearest_neighbors)
         # ``graph``: ESCAPE HATCH — inject a prebuilt SparseGraph instead of
         # the constructor's exact kNN build. The supported large-N builders
@@ -257,10 +270,14 @@ class RiemannKernel:
         return jnp.sqrt(density * eigvec.shape[0])[None, :] * eigvec
 
     def features_test(self, params, basis, x):
-        """Out-of-sample features via the Nystrom extension + bump window."""
+        """Out-of-sample features via the Nystrom extension + bump window.
+        The train-point search runs through the kernel's ``knn`` index
+        (exact by default; IVF or row-sharded when constructed with one)."""
         x = jnp.asarray(x, jnp.float32)
         eigval, eigvec = basis
-        edge_sqdist, edge_idx = knn_search(self.x, x, self.nearest_neighbors)
+        edge_sqdist, edge_idx = self.knn.search(
+            x, self.nearest_neighbors, self_query=False
+        )
         return self._features_oos(params, basis, edge_sqdist, edge_idx)
 
     def _features_oos(self, params, basis, edge_sqdist, edge_idx):

@@ -36,7 +36,6 @@ from ..config import DEFAULT_CONFIG, InferenceConfig
 from ..parameters import ConstrainedParam, GreaterThan, Positive
 from ..ops import engine
 from ..ops.bump import bump_function
-from ..ops.knn import knn_search
 from ..ops.matern import (
     labeled_split,
     make_jacobi_precond,
@@ -632,8 +631,11 @@ class RiemannGP:
         return self
 
     def modulation(self, params, x):
-        """bump(distance to nearest training graph point), reference :41-43."""
-        d, _ = knn_search(self.kernel.x, jnp.asarray(x, jnp.float32), 1)
+        """bump(distance to nearest training graph point), reference :41-43.
+        Runs through the kernel's knn index (exact / IVF / mesh-sharded)."""
+        d, _ = self.kernel.knn.search(
+            jnp.asarray(x, jnp.float32), 1, self_query=False
+        )
         gb = jnp.reshape(self.kernel.graphbandwidth(params), ())
         return bump_function(
             jnp.sqrt(d[:, 0]), self.kernel.bump_scale * gb, self.kernel.bump_decay

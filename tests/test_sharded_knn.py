@@ -159,3 +159,41 @@ def test_nearest_neighbors_wrapper_mesh(cloud, mesh):
     np.testing.assert_allclose(
         np.asarray(g_m.sqdist), np.asarray(g_1.sqdist), rtol=1e-6, atol=1e-7
     )
+
+
+def test_kernel_oos_features_through_injected_index(cloud, mesh):
+    """A kernel constructed with a mesh-sharded NearestNeighbors index
+    produces the same out-of-sample features and modulation as the default
+    exact index (round-4: features_test/modulation route through the
+    configurable knn index instead of hardcoded brute force)."""
+    from manifold_gp_tpu.config import InferenceConfig
+    from manifold_gp_tpu.kernels import RiemannMaternKernel
+    from manifold_gp_tpu.models import RiemannGP
+    from manifold_gp_tpu.ops.knn import NearestNeighbors
+
+    x = cloud[:512]
+    y = np.sin(3 * np.arctan2(x[:, 1], x[:, 0])).astype(np.float32)
+    xs = (x[::13] + 0.01).astype(np.float32)
+    cfg = InferenceConfig()
+
+    def posterior_with(knn_index):
+        kernel = RiemannMaternKernel(
+            nu=2, x=x, nearest_neighbors=6,
+            laplacian_normalization="randomwalk", num_modes=8, cfg=cfg,
+            knn_index=knn_index,
+        )
+        model = RiemannGP(x, y, kernel, cfg=cfg)
+        params = model.init_params(
+            noise=1e-2, outputscale=1.0, graphbandwidth=0.3, lengthscale=1.0
+        )
+        model.eval(params)
+        return model.posterior(params, xs)
+
+    p_mesh = posterior_with(NearestNeighbors(jnp.asarray(x), mesh=mesh))
+    p_ref = posterior_with(None)
+    np.testing.assert_allclose(
+        np.asarray(p_mesh.mean), np.asarray(p_ref.mean), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_mesh.stddev), np.asarray(p_ref.stddev), atol=1e-5
+    )
