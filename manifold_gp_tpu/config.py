@@ -93,6 +93,12 @@ class InferenceConfig:
     # "einsum" (portable XLA path, identical numerics), or "auto" (pallas on
     # TPU backends, einsum elsewhere — resolved at kernel construction).
     spmv_kernel: str = "auto"
+    # VanillaGP (Euclidean BBMM regime): up to this many training points the
+    # iterative solves materialize the dense [n, n] covariance once per loss
+    # eval (one big MXU gram; 1.6 GB f32 at n=20k); above it the matvecs
+    # regenerate kernel tiles on the fly (EuclideanKernel.gram_matvec) —
+    # O(block * n) memory, same MXU FLOPs per matvec.
+    dense_gram_max_size: int = 20000
 
     def replace(self, **kw) -> "InferenceConfig":
         return dataclasses.replace(self, **kw)

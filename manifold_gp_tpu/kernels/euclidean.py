@@ -44,6 +44,33 @@ class EuclideanKernel:
     def gram(self, params, x1, x2=None):
         raise NotImplementedError
 
+    def gram_matvec(self, params, x1, v, x2=None, block_size: int = 4096):
+        """K(x1, x2) @ v without materializing the full gram matrix.
+
+        Row blocks of the kernel matrix are generated on the fly (one
+        [block_size, n2] tile live at a time, ``lax.map``-sequenced) and
+        immediately contracted into the output — each matvec regenerates
+        the tiles (the O(n1 n2 D) FLOPs stay, and they are MXU matmuls),
+        but memory is O(block_size * n2) instead of O(n1 n2). This is the
+        KeOps-style schedule the BBMM regime needs once n outgrows dense
+        gram materialization (GPyTorch's lazy kernel tensors play the same
+        role)."""
+        x2 = x1 if x2 is None else x2
+        squeeze = v.ndim == 1
+        vv = v[:, None] if squeeze else v
+        n1 = x1.shape[0]
+        pad = (-n1) % block_size
+        x1p = jnp.pad(x1, ((0, pad), (0, 0)))
+        blocks = x1p.reshape(-1, block_size, x1.shape[1])
+
+        def one(blk):
+            return jnp.matmul(
+                self.gram(params, blk, x2), vv, precision=_HIGHEST
+            )
+
+        out = jax.lax.map(one, blocks).reshape(-1, vv.shape[1])[:n1]
+        return out[:, 0] if squeeze else out
+
 
 class RBFKernel(EuclideanKernel):
     def gram(self, params, x1, x2=None):

@@ -70,6 +70,31 @@ class VanillaGP:
             k.shape[0], dtype=k.dtype
         )
 
+    def _covar_matvec_and_diag(self, params):
+        """(matvec, diag) of K + sigma^2 I for the iterative regime: a dense
+        one-time gram up to cfg.dense_gram_max_size, the tiled on-the-fly
+        gram_matvec above it (O(block * n) memory — the regime where the
+        [n, n] gram no longer fits)."""
+        n = self.num_data
+        s = jnp.reshape(self.outputscale(params), ())
+        sigma2 = jnp.reshape(self.noise(params), ())
+        if n <= self.cfg.dense_gram_max_size:
+            kmat = self._train_covar(params)
+
+            def mv(v):
+                return jnp.matmul(kmat, v, precision=_HIGHEST)
+
+            return mv, jnp.diagonal(kmat)
+
+        def mv(v):
+            return (
+                s * self.kernel.gram_matvec(params, self.train_x, v)
+                + sigma2 * v
+            )
+
+        # stationary kernels: k(0) = 1, so diag(K + sigma^2 I) = s + sigma^2
+        return mv, jnp.full((n,), 1.0, jnp.float32) * s + sigma2
+
     def mll_loss(self, params, key=None):
         """Negative exact marginal log likelihood / n (the quantity
         ``vanilla_train`` minimizes via gpytorch's ExactMarginalLogLikelihood,
@@ -85,8 +110,8 @@ class VanillaGP:
         """
         n = self.num_data
         resid = self.train_y - params["mean_constant"]
-        kmat = self._train_covar(params)
         if n <= self.cfg.max_cholesky:
+            kmat = self._train_covar(params)
             chol = jnp.linalg.cholesky(kmat)
             alpha = jax.scipy.linalg.cho_solve((chol, True), resid[:, None])[:, 0]
             quad = jnp.dot(resid, alpha, precision=_HIGHEST)
@@ -97,12 +122,8 @@ class VanillaGP:
             from ..ops.pivchol import make_pivchol_precond
             from ..ops.slq import slq_logdet_mbcg
 
-            def mv(v):
-                return jnp.matmul(kmat, v, precision=_HIGHEST)
-
-            pobj = make_pivchol_precond(
-                mv, jnp.diagonal(kmat), self.cfg.precond_rank
-            )
+            mv, d0 = self._covar_matvec_and_diag(params)
+            pobj = make_pivchol_precond(mv, d0, self.cfg.precond_rank)
             # 2-D RHS: cg_solve's closure_convert specializes the matvec /
             # preconditioner to the RHS aval, and CG runs on [n, B] columns.
             alpha = cg_solve(
@@ -134,9 +155,9 @@ class VanillaGP:
             is 100).
         """
         n = self.num_data
-        kmat = self._train_covar(params)
         resid = self.train_y - params["mean_constant"]
         if n <= self.cfg.max_cholesky:
+            kmat = self._train_covar(params)
             chol = jnp.linalg.cholesky(kmat)
             alpha = jax.scipy.linalg.cho_solve((chol, True), resid[:, None])[:, 0]
             self._cache = dict(chol=chol, alpha=alpha)
@@ -145,10 +166,8 @@ class VanillaGP:
         from ..ops.eigen import lanczos_eigh
         from ..ops.pivchol import make_pivchol_precond
 
-        def mv(v):
-            return jnp.matmul(kmat, v, precision=_HIGHEST)
-
-        pobj = make_pivchol_precond(mv, jnp.diagonal(kmat), self.cfg.precond_rank)
+        mv, d0 = self._covar_matvec_and_diag(params)
+        pobj = make_pivchol_precond(mv, d0, self.cfg.precond_rank)
         alpha = cg_solve(
             mv, resid[:, None], tol=self.cfg.cg_tolerance,
             max_iter=self.cfg.cg_max_iter, precond=pobj.apply,

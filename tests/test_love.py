@@ -172,3 +172,49 @@ def test_vanilla_iterative_eval_low_rank_underestimates():
     # rank-r Ritz solve removes less than the exact solve: variance >= exact
     assert np.all(var_low >= var_exact - 1e-5)
     assert np.mean(var_low - var_exact) > 0
+
+
+def test_vanilla_matrix_free_gram_matches_dense():
+    """Above cfg.dense_gram_max_size the vanilla BBMM regime regenerates
+    kernel tiles on the fly (EuclideanKernel.gram_matvec) instead of
+    materializing the [n, n] gram. Loss (value+grad) and posterior must
+    match the densified iterative path."""
+    from manifold_gp_tpu.kernels import MaternKernel
+    from manifold_gp_tpu.models import VanillaGP
+
+    rng = np.random.default_rng(5)
+    n = 500
+    t = np.sort(rng.uniform(0, 2 * np.pi, n))
+    x = np.stack([np.cos(t), np.sin(t)], 1).astype(np.float32)
+    y = np.sin(3 * t).astype(np.float32)
+    xs = (x[::11] + 0.02).astype(np.float32)
+
+    def build(dense_gram):
+        cfg = InferenceConfig(
+            max_cholesky=0, cg_tolerance=1e-6, cg_max_iter=800,
+            num_probes=64, lanczos_max_iter=48,
+            dense_gram_max_size=dense_gram,
+        )
+        m = VanillaGP(x, y, MaternKernel(2.5), cfg=cfg)
+        p = m.init_params(noise=1e-2, outputscale=1.0, lengthscale=0.5)
+        return m, p
+
+    m_d, p = build(20000)   # densified iterative path
+    m_f, _ = build(0)       # tiled matrix-free path (block_size > n works)
+    key = jax.random.PRNGKey(0)
+    l_d, g_d = jax.jit(jax.value_and_grad(m_d.mll_loss))(p, key)
+    l_f, g_f = jax.jit(jax.value_and_grad(m_f.mll_loss))(p, key)
+    np.testing.assert_allclose(float(l_f), float(l_d), rtol=1e-4)
+    for k in g_d:
+        np.testing.assert_allclose(
+            np.asarray(g_f[k]), np.asarray(g_d[k]), rtol=1e-2, atol=1e-5
+        )
+
+    post_d = m_d.eval(p, love_rank=n).posterior(p, xs)
+    post_f = m_f.eval(p, love_rank=n).posterior(p, xs)
+    np.testing.assert_allclose(
+        np.asarray(post_f.mean), np.asarray(post_d.mean), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(post_f.stddev), np.asarray(post_d.stddev), atol=1e-3
+    )
