@@ -160,25 +160,35 @@ def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32"):
         b = permute_in(layout, b)
     x, it0 = run(b)
     float(x[0, 0])  # completion fence (block_until_ready unreliable on tunnel)
+    assert np.all(np.isfinite(np.asarray(x[:4096]))), (
+        "non-finite warmup CG output: operator scale overflow"
+    )
     reps = 2
     t0 = time.perf_counter()
     out = b
+    total_iters = 0
     for _ in range(reps):
         out, iters = run(out)
+        total_iters += int(iters)
     float(out[0, 0])
     dt = time.perf_counter() - t0
-    # A non-finite CG iterate EXITS the while_loop immediately (res > tol is
-    # False for NaN), silently inflating the rate by orders of magnitude —
-    # this bit the first real-IVF 1M row. Demand the full iteration count
-    # and a finite result.
-    assert int(it0) == cg_iters and int(iters) == cg_iters, (
-        f"CG exited early ({int(it0)}/{int(iters)} of {cg_iters} iters): "
-        "non-finite iterates — operator scale overflow; see main()'s "
+    # Two distinct early-exit modes, and only one is legitimate: a NaN CG
+    # iterate EXITS the while_loop immediately (res > tol is False for NaN)
+    # — that silently inflated the first real-IVF 1M row 15x and must be an
+    # error; exact convergence (residuals underflow to 0 before the cap,
+    # seen at k=16 with 50 iters) is fine, and the rate then counts the
+    # iterations that actually ran.
+    out_head = np.asarray(out[:4096])
+    assert np.all(np.isfinite(out_head)) and np.abs(out_head).max() > 0, (
+        "degenerate CG output (NaN mid-chain collapses later reps to the "
+        "zero initial guess): operator scale overflow — see main()'s "
         "unit-bandwidth rescaling"
     )
-    assert np.all(np.isfinite(np.asarray(out[:4096])))
+    if total_iters < reps * cg_iters:
+        print(f"# note: CG converged early ({total_iters} of "
+              f"{reps * cg_iters} iters ran)", file=sys.stderr)
     # one Q matvec per CG iteration (+1 unaccounted init) = nu Laplacian applies
-    matvecs = reps * cg_iters * nu * batch
+    matvecs = total_iters * nu * batch
     return matvecs / dt
 
 
@@ -270,19 +280,27 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
 
     x, it0 = run(b)
     float(x[0, 0])
+    assert np.all(np.isfinite(np.asarray(x[:4096]))), (
+        "non-finite warmup CG output: operator scale overflow"
+    )
     reps = 2
     t0 = time.perf_counter()
     out = b
+    total_iters = 0
     for _ in range(reps):
         out, iters = run(out)
+        total_iters += int(iters)
     float(out[0, 0])
     dt = time.perf_counter() - t0
-    assert int(it0) == cg_iters and int(iters) == cg_iters, (
-        f"CG exited early ({int(it0)}/{int(iters)} of {cg_iters}): operator "
-        "scale overflow; see main()'s rescaling"
+    out_head = np.asarray(out[:4096])
+    assert np.all(np.isfinite(out_head)) and np.abs(out_head).max() > 0, (
+        "degenerate CG output: operator scale overflow — see main()'s "
+        "rescaling"
     )
-    assert np.all(np.isfinite(np.asarray(out[:4096])))
-    matvecs = reps * cg_iters * nu * batch
+    if total_iters < reps * cg_iters:
+        print(f"# note: CG converged early ({total_iters} of "
+              f"{reps * cg_iters} iters ran)", file=sys.stderr)
+    matvecs = total_iters * nu * batch
     return matvecs / dt
 
 
