@@ -256,27 +256,53 @@ def bench_construction(args):
     print(f"# construction: N={args.n} rank={args.rank} "
           f"layout={type(layout).__name__} pallas={pallas}", file=sys.stderr)
 
-    @jax.jit
-    def build(c):
-        mv = make_noisy_matvec(
-            make_matern_precision_matvec(
-                graph, c, args.nu, 1.0, "randomwalk",
-                block=(layout, None) if layout is not None else None,
-                pallas=pallas,
-            ),
-            1e-2,
-        )
-        d = noisy_scaled_diag(
-            matern_precision_diag(graph, c, args.nu, 1.0, "randomwalk"),
-            noise=1e-2,
-        )
-        p = make_pivchol_precond(mv, d, args.rank)
-        return p.chol_c
+    # Operands assembled EAGERLY and passed as jit ARGUMENTS (the tunneled
+    # backend's compile request rejects multi-GB closure constants —
+    # bench_large_scale's convention). The construction runs in permuted
+    # row space, so the pivoting diagonal is permuted to match.
+    from manifold_gp_tpu.ops.matern import (
+        make_matern_precision_matvec_operand,
+        matern_precision_operands,
+    )
 
-    out = build(coeffs)
+    if layout is not None:
+        qb, dsq = matern_precision_operands(layout, coeffs, args.nu, 1.0)
+        mv_op = make_matern_precision_matvec_operand(
+            layout, args.nu, "randomwalk", pallas=pallas
+        )
+        d0 = noisy_scaled_diag(
+            matern_precision_diag(graph, coeffs, args.nu, 1.0, "randomwalk"),
+            noise=1e-2,
+        )[layout.perm]
+
+        @jax.jit
+        def build(qb_, dsq_, d_):
+            mv = make_noisy_matvec(lambda v: mv_op(qb_, dsq_, v), 1e-2)
+            p = make_pivchol_precond(mv, d_, args.rank)
+            return p.chol_c
+
+        run = lambda: build(qb, dsq, d0)  # noqa: E731
+    else:
+
+        @jax.jit
+        def build(c):
+            mv = make_noisy_matvec(
+                make_matern_precision_matvec(graph, c, args.nu, 1.0, "randomwalk"),
+                1e-2,
+            )
+            d = noisy_scaled_diag(
+                matern_precision_diag(graph, c, args.nu, 1.0, "randomwalk"),
+                noise=1e-2,
+            )
+            p = make_pivchol_precond(mv, d, args.rank)
+            return p.chol_c
+
+        run = lambda: build(coeffs)  # noqa: E731
+
+    out = run()
     float(out[0, 0])  # fence
     t0 = time.perf_counter()
-    out = build(coeffs)
+    out = run()
     float(out[0, 0])
     dt = time.perf_counter() - t0
     print(json.dumps({

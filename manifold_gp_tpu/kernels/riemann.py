@@ -77,9 +77,17 @@ class RiemannKernel:
         # or NearestNeighbors(x, mesh=mesh) for the row-sharded search.
         # Default: exact single-device search.
         if knn_index is not None:
-            assert knn_index.x.shape == jnp.asarray(x, jnp.float32).shape, (
-                "knn_index must be built over the kernel's own points"
-            )
+            # One-time host content compare: a same-shape index over OTHER
+            # points would silently gather out-of-sample features into the
+            # wrong eigvec rows.
+            import numpy as _np
+
+            if knn_index.x.shape != self.x.shape or not bool(
+                _np.array_equal(_np.asarray(knn_index.x), _np.asarray(self.x))
+            ):
+                raise ValueError(
+                    "knn_index must be built over the kernel's own points"
+                )
             self.knn = knn_index
         else:
             self.knn = NearestNeighbors(self.x)

@@ -403,12 +403,24 @@ class NearestNeighbors:
         return knn_search(self.x, jnp.asarray(queries, jnp.float32), k, self_query)
 
     def graph(self, k: int):
-        """Symmetric kNN edge list; see ops.graph.build_graph /
+        """Symmetric kNN edge list through whichever search backend this
+        index was configured with (mesh-sharded / the already-built IVF
+        index / exact); see ops.graph.build_graph,
         parallel.knn.build_graph_sharded."""
         if self.mesh is not None:
             from ..parallel.knn import build_graph_sharded
 
             return build_graph_sharded(self.x, k, self.mesh)
+        if self.index is not None:
+            from .graph import symmetrize_knn_edges
+
+            sqd, idx = ivf_search(
+                self.index, self.x, k, nprobe=self.nprobe, self_query=True
+            )
+            return symmetrize_knn_edges(
+                np.asarray(sqd), np.asarray(idx), self.x.shape[0],
+                x=np.asarray(self.x),
+            )
         from .graph import build_graph
 
         return build_graph(self.x, k)

@@ -65,15 +65,15 @@ def make_matern_precision_matvec(
         # and for symmetric to (I/a + L_sym)^nu. Scattering the 1/a shift
         # into the panel diagonal once per step turns every Q matvec into nu
         # bare block matvecs with two boundary row-scalings — no per-matvec
-        # affine or D^{+-1/2} conjugation passes over [N, B] in the hot loop.
+        # affine or D^{+-1/2} conjugation passes over [N, B] in the hot loop
+        # (matern_precision_operands / make_matern_precision_matvec_operand
+        # below are that telescoped form; this closure composes them and
+        # adds the permutation boundary).
         # ``block`` may carry either sparse layout (block-ELL panels or DIA
         # bands); sparse_formats dispatches on the layout type.
-        from .sparse_formats import assemble, matvec_permuted, permute_in, permute_out
+        from .sparse_formats import permute_in, permute_out
 
         layout, blocks = block
-        # Assemble the shifted panels directly from (diag + 1/a, triu): one
-        # scatter per step instead of assemble + a second full-buffer shift
-        # pass (TPU scatters over the panel buffer cost ~ms; see assemble).
         # ``blocks`` is either None (f32 panels), a dtype (pin the panel
         # dtype without pre-assembling a buffer — the cheap calling
         # convention), or a real panel buffer whose dtype is reused.
@@ -83,31 +83,19 @@ def make_matern_precision_matvec(
             panel_dtype = blocks.dtype
         else:
             panel_dtype = blocks  # a dtype
-        qblocks = assemble(
-            layout,
-            coeffs.diag + 1.0 / diag,
-            coeffs.triu,
-            dtype=panel_dtype,
+        qblocks, dsq_p = matern_precision_operands(
+            layout, coeffs, nu, lengthscale, dtype=panel_dtype
         )
-        dsq_p = jnp.sqrt(deg_full if permuted_io else deg_full[layout.perm])
-        if pallas:
-            from .sparse_formats import make_matvec_ad
-
-            mv_fn = make_matvec_ad(layout)
-        else:
-            mv_fn = lambda blk, pv: matvec_permuted(layout, blk, pv)  # noqa: E731
+        inner = make_matern_precision_matvec_operand(
+            layout, nu, normalization, pallas=pallas
+        )
 
         def matvec(v):
             squeeze = v.ndim == 1
             out = v[:, None] if squeeze else v
             if not permuted_io:
                 out = permute_in(layout, out)
-            if normalization == "randomwalk":
-                out = out * dsq_p[:, None]
-            for _ in range(nu):
-                out = mv_fn(qblocks, out)
-            if normalization == "randomwalk":
-                out = out * dsq_p[:, None]
+            out = inner(qblocks, dsq_p, out)
             if not permuted_io:
                 out = permute_out(layout, out)
             return out[:, 0] if squeeze else out

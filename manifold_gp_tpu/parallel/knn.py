@@ -38,12 +38,7 @@ from .mesh import NODE_AXIS
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _pad_to(a: jnp.ndarray, multiple: int):
-    n = a.shape[0]
-    pad = (-n) % multiple
-    if pad:
-        a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
-    return a, n
+from ..ops.knn import _pad_rows as _pad_to  # pad-to-multiple, returns (a, n)
 
 
 def _block_topk(qb, q_rows, database, db_norm, col_base, n_db, k,
@@ -51,7 +46,10 @@ def _block_topk(qb, q_rows, database, db_norm, col_base, n_db, k,
     """Exact top-k of one query tile against one database panel.
 
     ``q_rows``: global query row ids [B]; ``col_base``: global id of the
-    panel's first database row; rows >= n_db are padding (+inf distance)."""
+    panel's first database row; rows >= n_db are padding (+inf distance).
+    When the panel holds fewer than k rows (ring schedule with small
+    per-device shards) the result is padded to k with +inf/-1 — the
+    cross-step merge discards them."""
     qn = jnp.sum(qb * qb, axis=-1)
     d = (
         qn[:, None]
@@ -62,8 +60,19 @@ def _block_topk(qb, q_rows, database, db_norm, col_base, n_db, k,
     d = jnp.where(cols < n_db, d, jnp.inf)
     if self_query:
         d = jnp.where(cols == q_rows[:, None], -1.0, d)
-    neg_topk, pos = jax.lax.top_k(-d, k)
-    return -neg_topk, jnp.take_along_axis(cols, pos, axis=1)
+    kk = min(k, d.shape[1])
+    neg_topk, pos = jax.lax.top_k(-d, kk)
+    dd = -neg_topk
+    ii = jnp.take_along_axis(cols, pos, axis=1)
+    if kk < k:
+        pad = k - kk
+        dd = jnp.concatenate(
+            [dd, jnp.full((dd.shape[0], pad), jnp.inf, dd.dtype)], axis=1
+        )
+        ii = jnp.concatenate(
+            [ii, jnp.full((ii.shape[0], pad), -1, ii.dtype)], axis=1
+        )
+    return dd, ii
 
 
 @functools.partial(
@@ -190,6 +199,10 @@ def sharded_knn_search(
         )
     database = jnp.asarray(database, jnp.float32)
     queries = jnp.asarray(queries, jnp.float32)
+    if k > database.shape[0]:
+        raise ValueError(
+            f"k={k} exceeds the database size {database.shape[0]}"
+        )
     fn = _replicated_search if schedule == "replicated" else _ring_search
     return fn(database, queries, k, mesh, bool(self_query), int(block_size))
 

@@ -318,4 +318,11 @@ def rmnist_is_real(cache_dir=None, single_digit=True) -> bool:
         d = np.load(cache)
         if "real" in d.files:
             return bool(d["real"])
+        # A cache predating the 'real' flag: its contents are whatever the
+        # OLD builder saw, which the current environment can no longer tell
+        # us (mnist.npz may have been dropped in afterwards). Every flagless
+        # cache in the wild is a surrogate-era build — report that rather
+        # than the current environment's availability, which would compare
+        # surrogate metrics against real-MNIST pins.
+        return False
     return _load_mnist_train() is not None

@@ -199,7 +199,17 @@ def _train_loop(
     while epoch < total and not stop:
         if aux_fn is not None and epoch >= aux_next:
             aux = aux_fn(params)
-            aux_next = epoch + (aux_period or total)
+            # Next rebuild at the next ABSOLUTE multiple of aux_period, so a
+            # resumed run re-joins the uninterrupted run's refresh epochs.
+            # (The entry rebuild itself uses the checkpointed params rather
+            # than the params from the last pre-crash boundary, so runs with
+            # aux_fn replay the SCHEDULE exactly but not the stochastic
+            # draws of the interrupted window — aux is stop_gradient-ed
+            # estimator state, so only MC noise differs, never estimands.
+            # Bitwise resume-exactness holds for aux_fn=None, which the
+            # checkpoint tests pin.)
+            period_abs = aux_period or total
+            aux_next = (epoch // period_abs + 1) * period_abs
         length = min(
             period - (epoch % period) if period else total,
             total - epoch,
@@ -300,7 +310,11 @@ def manifold_informed_train(
     for ``precond_type='pivchol'`` at large N, where construction is
     ``precond_rank`` sequential full-operator matvecs. The cached object is
     stop_gradient-ed, so staleness affects only CG iteration counts and
-    quadrature concentration — gradients stay unbiased.
+    quadrature concentration — gradients stay unbiased. Checkpoint/resume:
+    the refresh schedule is aligned to absolute epochs, but the
+    entry-rebuild after a resume uses the checkpointed params, so the
+    interrupted window's MC draws differ from the uninterrupted run's
+    (bitwise resume-exactness needs precond_refresh=None).
     """
     # The callback PRNG chain lives in a 1-element holder so _train_loop can
     # checkpoint/restore it (resume then replays renormalization probes

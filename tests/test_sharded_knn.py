@@ -197,3 +197,35 @@ def test_kernel_oos_features_through_injected_index(cloud, mesh):
     np.testing.assert_allclose(
         np.asarray(p_mesh.stddev), np.asarray(p_ref.stddev), atol=1e-5
     )
+
+
+def test_ring_search_k_exceeds_shard(mesh):
+    """Ring schedule with k larger than the per-device database shard: the
+    per-step top-k is clamped and padded, the cross-step merge still
+    produces the exact global top-k."""
+    rng = np.random.default_rng(9)
+    db = rng.standard_normal((350, 3)).astype(np.float32)
+    q = rng.standard_normal((64, 3)).astype(np.float32)
+    k = 50  # > ceil(350/8) = 44 rows per device
+    d_ref, i_ref = knn_search(db, q, k)
+    d_sh, i_sh = sharded_knn_search(db, q, k, mesh, schedule="ring",
+                                    block_size=32)
+    assert_topk_equal(d_sh, i_sh, d_ref, i_ref)
+
+
+def test_nearest_neighbors_ivf_graph_uses_index(cloud):
+    """NearestNeighbors(use_ivf=True).graph() must route through the
+    already-built IVF index (review finding: it silently fell back to the
+    exact O(N^2) build, discarding the index and its tuning)."""
+    from manifold_gp_tpu.ops.knn import NearestNeighbors
+
+    nn = NearestNeighbors(cloud, use_ivf=True, nlist=32, nprobe=32)
+    g_ivf = nn.graph(6)
+    g_exact = build_graph(cloud, 6)
+    # full-probe IVF over a smooth cloud reproduces the exact graph
+    assert g_ivf.num_nodes == g_exact.num_nodes
+    overlap = len(
+        set(zip(np.asarray(g_ivf.rows).tolist(), np.asarray(g_ivf.cols).tolist()))
+        & set(zip(np.asarray(g_exact.rows).tolist(), np.asarray(g_exact.cols).tolist()))
+    ) / g_exact.num_edges
+    assert overlap > 0.98, overlap
