@@ -189,7 +189,7 @@ def bench_mesh_continuity_rows():
                 [sys.executable, "benchmark/bench_large_scale.py",
                  "--n", str(n), "--k", str(k), "--batch", "128",
                  "--cg-iters", "50", "--mesh", "1", "--graph", "procedural"],
-                capture_output=True, text=True, timeout=1500,
+                capture_output=True, text=True, timeout=1200,
             )
             for line in reversed(r.stdout.strip().splitlines()):
                 try:
