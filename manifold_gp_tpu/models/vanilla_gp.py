@@ -9,7 +9,6 @@ The default noise constraint mirrors GPyTorch's GaussianLikelihood default
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
-from typing import Optional
 
 import numpy as np
 
