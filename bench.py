@@ -119,16 +119,26 @@ def bench_jax(x, k, batch, iters=40):
     )
     # Completion fence: block_until_ready does NOT reliably block on the
     # tunneled TPU backend; a scalar device->host read does. One fence
-    # amortized over reps*iters matvecs keeps the tunnel RTT negligible.
+    # amortized over iters matvecs keeps the tunnel RTT negligible.
     out = chain(v)
     float(out[0, 0])
-    reps = 3
-    t0 = time.perf_counter()
+    # Median of 5 independently timed chains with recorded spread: round-4
+    # VERDICT item 3 — the single 3-rep aggregate could not adjudicate the
+    # r03->r04 10.3% headline move (noise vs regression).
+    reps = 5
+    rates = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = chain(out)
-    float(out[0, 0])
-    dt = time.perf_counter() - t0
-    return reps * iters * batch / dt, graph
+        float(out[0, 0])
+        rates.append(iters * batch / (time.perf_counter() - t0))
+    rates = np.sort(rates)
+    median = float(np.median(rates))
+    spread = float((rates[-1] - rates[0]) / median)
+    info = {"layout": layout, "rate_spread": round(spread, 3),
+            "rate_min": round(float(rates[0]), 1),
+            "rate_max": round(float(rates[-1]), 1)}
+    return median, graph, info
 
 
 def bench_torch_baseline(graph, batch, iters=10, reps=5):
@@ -188,13 +198,20 @@ def bench_mesh_continuity_rows():
             r = subprocess.run(
                 [sys.executable, "benchmark/bench_large_scale.py",
                  "--n", str(n), "--k", str(k), "--batch", "128",
-                 "--cg-iters", "50", "--mesh", "1", "--graph", "procedural"],
-                capture_output=True, text=True, timeout=1200,
+                 "--cg-iters", "50", "--mesh", "1", "--graph", "procedural",
+                 "--reps", "3"],
+                capture_output=True, text=True, timeout=1800,
             )
             for line in reversed(r.stdout.strip().splitlines()):
                 try:
                     row = json.loads(line)
                     val = row.get("value")
+                    # carry the sub-row's spread + speed-of-light fields
+                    # (round-4 VERDICT items 1 & 3)
+                    for f in ("rate_spread", "achieved_gbps",
+                              "pct_of_hbm_peak", "pct_of_sol_kernel"):
+                        if row.get(f) is not None:
+                            out[f"{label}_{f}"] = row[f]
                     break
                 except json.JSONDecodeError:
                     continue
@@ -211,13 +228,13 @@ def main():
     # every CG/Lanczos matvec as one [N, 128] batch) and the MXU/lane width.
     batch = 128
     x = build_inputs(n=n, k=k)
-    ours, graph = bench_jax(x, k, batch)
+    ours, graph, info = bench_jax(x, k, batch)
     base = bench_torch_baseline(graph, batch)
     vs = (ours / base) if base else None
     # batch-64 continuity row: the round-1 headline ran batch 64; keeping
     # both keeps driver numbers apples-to-apples across rounds (round-2
     # ADVICE item 4 / VERDICT weak-point 3).
-    ours64, _ = bench_jax(x, k, 64)
+    ours64, _, _ = bench_jax(x, k, 64)
     record = {
         "metric": "laplacian_matvecs_per_s",
         "value": round(ours, 1),
@@ -227,17 +244,53 @@ def main():
         # is auditable round-over-round (round-3 VERDICT item 5)
         "baseline_value": round(base, 1) if base else None,
         "batch": batch,
+        # median-of-5 spread (round-4 VERDICT item 3): (max-min)/median of
+        # the 5 timed chains behind `value`
+        "rate_spread": info["rate_spread"],
         "value_batch64": round(ours64, 1),
         "n": n,
         "k": k,
         "dtype": "float32",
         "kernel": "fused-pallas-or-einsum (auto)",
     }
+    # Speed-of-light accounting (round-4 VERDICT item 1): the chain is the
+    # bare fused matvec + one normalization pass per iteration, so its
+    # minimum HBM traffic is the kernel's exact bytes plus ~2 vector passes.
+    if info["layout"] is not None:
+        from manifold_gp_tpu.utils.roofline import (
+            block_matvec_flops,
+            hbm_peak_bytes_per_s,
+            matvec_bytes,
+            mxu_peak_flops_per_s,
+        )
+
+        mv = matvec_bytes(info["layout"], batch)
+        npd = info["layout"].num_padded
+        per_mv = (mv["total"] + 2 * npd * batch * 4) / batch
+        record["spmv_format"] = mv["format"]
+        record["bytes_per_matvec"] = round(per_mv, 1)
+        record["achieved_gbps"] = round(ours * per_mv / 1e9, 1)
+        peak = hbm_peak_bytes_per_s()
+        if peak:
+            record["pct_of_hbm_peak"] = round(100.0 * ours * per_mv / peak, 1)
+        # Block panels also burn MXU FLOPs (f32 HIGHEST = 6-pass emulation);
+        # whichever ceiling is lower names the binding resource.
+        flops = block_matvec_flops(info["layout"], batch)
+        mxu = mxu_peak_flops_per_s()
+        if flops and mxu:
+            mxu_sol = mxu / (flops / batch)
+            record["mxu_bound_matvecs_per_s"] = round(mxu_sol, 1)
+            record["pct_of_mxu_bound"] = round(100.0 * ours / mxu_sol, 1)
     # real-TPU mesh continuity rows (round-3 VERDICT item 10); skipped on
-    # CPU runs where the virtual mesh would measure nothing meaningful.
+    # CPU runs where the virtual mesh would measure nothing meaningful, and
+    # skippable for quick verification runs (MGP_BENCH_NO_MESH_ROWS=1).
+    import os
+
     import jax
 
-    if jax.devices()[0].platform == "tpu":
+    if jax.devices()[0].platform == "tpu" and not os.environ.get(
+        "MGP_BENCH_NO_MESH_ROWS"
+    ):
         record.update(bench_mesh_continuity_rows())
     print(json.dumps(record))
 

@@ -87,7 +87,43 @@ def real_manifold_graph(n: int, k: int = 16, seed: int = 0,
     return graph, x, time.perf_counter() - t0, backend
 
 
-def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32"):
+def _timed_reps(run, b, reps, cg_iters, nu, batch):
+    """Median-of-``reps`` independently timed CG chains with recorded spread
+    (round-4 VERDICT item 3: single-shot rows swung 7% run-to-run — a row
+    that noisy cannot police a 5% regression). Returns (median_rate, extra
+    JSON fields)."""
+    rates = []
+    out = b
+    total_iters = 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out, iters = run(out)
+        float(out[0, 0])
+        dt = time.perf_counter() - t0
+        rates.append(int(iters) * nu * batch / dt)
+        total_iters += int(iters)
+    out_head = np.asarray(out[:4096])
+    assert np.all(np.isfinite(out_head)) and np.abs(out_head).max() > 0, (
+        "degenerate CG output (NaN mid-chain collapses later reps to the "
+        "zero initial guess): operator scale overflow — see main()'s "
+        "unit-bandwidth rescaling"
+    )
+    if total_iters < reps * cg_iters:
+        print(f"# note: CG converged early ({total_iters} of "
+              f"{reps * cg_iters} iters ran)", file=sys.stderr)
+    rates = np.sort(rates)
+    median = float(np.median(rates))
+    spread = float((rates[-1] - rates[0]) / median) if median else 0.0
+    return median, {
+        "reps": reps,
+        "rate_spread": round(spread, 3),
+        "rate_min": round(float(rates[0]), 1),
+        "rate_max": round(float(rates[-1]), 1),
+    }
+
+
+def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32",
+                        reps=3):
     import jax
     import jax.numpy as jnp
 
@@ -163,37 +199,23 @@ def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32"):
     assert np.all(np.isfinite(np.asarray(x[:4096]))), (
         "non-finite warmup CG output: operator scale overflow"
     )
-    reps = 2
-    t0 = time.perf_counter()
-    out = b
-    total_iters = 0
-    for _ in range(reps):
-        out, iters = run(out)
-        total_iters += int(iters)
-    float(out[0, 0])
-    dt = time.perf_counter() - t0
-    # Two distinct early-exit modes, and only one is legitimate: a NaN CG
-    # iterate EXITS the while_loop immediately (res > tol is False for NaN)
-    # — that silently inflated the first real-IVF 1M row 15x and must be an
-    # error; exact convergence (residuals underflow to 0 before the cap,
-    # seen at k=16 with 50 iters) is fine, and the rate then counts the
-    # iterations that actually ran.
-    out_head = np.asarray(out[:4096])
-    assert np.all(np.isfinite(out_head)) and np.abs(out_head).max() > 0, (
-        "degenerate CG output (NaN mid-chain collapses later reps to the "
-        "zero initial guess): operator scale overflow — see main()'s "
-        "unit-bandwidth rescaling"
-    )
-    if total_iters < reps * cg_iters:
-        print(f"# note: CG converged early ({total_iters} of "
-              f"{reps * cg_iters} iters ran)", file=sys.stderr)
-    # one Q matvec per CG iteration (+1 unaccounted init) = nu Laplacian applies
-    matvecs = total_iters * nu * batch
-    return matvecs / dt
+    # NaN early-exit guard rationale lives in _timed_reps (a NaN CG iterate
+    # EXITS the while_loop immediately — res > tol is False for NaN — which
+    # silently inflated the first real-IVF 1M row 15x).
+    rate, extra = _timed_reps(run, b, reps, cg_iters, nu, batch)
+    from manifold_gp_tpu.utils.roofline import roofline_fields
+
+    if layout is not None:
+        extra.update(roofline_fields(
+            layout, batch, nu, rate,
+            buf_dtype_bytes=2 if dtype == "bfloat16" else 4,
+        ))
+    return rate, extra
 
 
 def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
-                  dtype="float32", force_scan=False, schedule="auto"):
+                  dtype="float32", force_scan=False, schedule="auto",
+                  reps=3):
     """Row-sharded CG throughput. Rides the fused block-ELL mesh path
     (parallel/block_spmv: sharded panels + Pallas kernel / block einsum on
     the all-gathered operand) whenever the layout builds; ``force_scan``
@@ -283,25 +305,100 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
     assert np.all(np.isfinite(np.asarray(x[:4096]))), (
         "non-finite warmup CG output: operator scale overflow"
     )
-    reps = 2
-    t0 = time.perf_counter()
-    out = b
-    total_iters = 0
-    for _ in range(reps):
-        out, iters = run(out)
-        total_iters += int(iters)
-    float(out[0, 0])
-    dt = time.perf_counter() - t0
-    out_head = np.asarray(out[:4096])
-    assert np.all(np.isfinite(out_head)) and np.abs(out_head).max() > 0, (
-        "degenerate CG output: operator scale overflow — see main()'s "
-        "rescaling"
+    rate, extra = _timed_reps(run, b, reps, cg_iters, nu, batch)
+    if tables is not None:
+        from manifold_gp_tpu.utils.roofline import roofline_fields
+
+        extra.update(roofline_fields(
+            tables, batch, nu, rate,
+            buf_dtype_bytes=2 if dtype == "bfloat16" else 4,
+        ))
+    return rate, extra
+
+
+def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32"):
+    """Pure fused-SpMV chain — no CG, no Matérn composition: the strict
+    kernel speed-of-light measurement (round-4 VERDICT item 1). Chain of
+    ``iters`` bare kernel applies in permuted space with one normalization
+    pass per apply (to keep values finite); bytes per apply are the kernel's
+    exact cost-estimate traffic + ~2 vector passes for the normalization, so
+    achieved GB/s here is measured, not modeled."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu.ops.laplacian import laplacian_coeffs
+    from manifold_gp_tpu.ops.sparse_formats import (
+        assemble,
+        build_layout,
+        make_matvec_ad,
+        matvec_permuted,
+        permute_in,
     )
-    if total_iters < reps * cg_iters:
-        print(f"# note: CG converged early ({total_iters} of "
-              f"{reps * cg_iters} iters ran)", file=sys.stderr)
-    matvecs = total_iters * nu * batch
-    return matvecs / dt
+    from manifold_gp_tpu.utils.roofline import (
+        hbm_peak_bytes_per_s,
+        matvec_bytes,
+        normalize_spec,
+    )
+
+    coeffs = laplacian_coeffs(graph, eps)
+    layout = build_layout(graph)
+    assert layout is not None, "matvec-only mode needs a fused layout"
+    pallas = jax.devices()[0].platform == "tpu"
+    buf_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+    blocks = jax.jit(lambda d, t: assemble(layout, d, t, dtype=buf_dtype))(
+        coeffs.diag, coeffs.triu
+    )
+    mv_fn = (
+        make_matvec_ad(layout)
+        if pallas
+        else lambda blk, pv: matvec_permuted(layout, blk, pv)
+    )
+    spec = normalize_spec(layout)
+    print(f"# matvec-only: N={graph.num_nodes} spec={spec} pallas={pallas}",
+          file=sys.stderr)
+
+    @jax.jit
+    def chain(blocks_, pv):
+        def body(_, t):
+            t = mv_fn(blocks_, t)
+            return t / jnp.linalg.norm(t[:, :1])
+
+        return jax.lax.fori_loop(0, iters, body, pv)
+
+    rng = np.random.default_rng(1)
+    v = permute_in(
+        layout,
+        jnp.asarray(rng.standard_normal((graph.num_nodes, batch)).astype(
+            np.float32))
+    )
+    out = chain(blocks, v)
+    float(out[0, 0])
+    assert np.all(np.isfinite(np.asarray(out[:4096])))
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = chain(blocks, out)
+        float(out[0, 0])
+        rates.append(iters * batch / (time.perf_counter() - t0))
+    rates = np.sort(rates)
+    rate = float(np.median(rates))
+    mv = matvec_bytes(layout, batch,
+                      buf_dtype_bytes=2 if dtype == "bfloat16" else 4)
+    per_mv = (mv["total"] + 2 * spec["num_padded"] * batch * 4) / batch
+    extra = {
+        "reps": reps,
+        "rate_spread": round(float((rates[-1] - rates[0]) / rate), 3),
+        "spmv_format": mv["format"],
+        "bytes_per_matvec": round(per_mv, 1),
+        "operator_bytes_per_apply": mv["operator"],
+        "achieved_gbps": round(rate * per_mv / 1e9, 1),
+    }
+    peak = hbm_peak_bytes_per_s()
+    if peak:
+        extra["hbm_peak_gbps"] = round(peak / 1e9, 1)
+        extra["pct_of_hbm_peak"] = round(100.0 * rate * per_mv / peak, 1)
+    return rate, extra
 
 
 def bench_basis(graph, eps, num_modes, max_iter):
@@ -423,6 +520,15 @@ def main():
                          "kernel schedule instead of the byte-count dispatch "
                          "— the round-4 measurement hook for pinning the 1M "
                          "mesh residual")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="independently timed CG chains per row (median + "
+                         "spread recorded — round-4 VERDICT item 3)")
+    ap.add_argument("--matvec-only", action="store_true",
+                    help="instead of CG: time a bare fused-SpMV chain (the "
+                         "strict kernel speed-of-light row; exact bytes)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one timed rep "
+                         "into DIR (roofline attribution)")
     ap.add_argument("--basis", type=int, default=0,
                     help="instead of CG: time LOBPCG basis extraction of "
                          "this many modes")
@@ -497,26 +603,41 @@ def main():
             "graph_build_s": round(build_s, 2),
         }))
         return
-    if args.mesh:
-        rate = bench_sharded(
-            graph, eps, args.nu, args.ls, args.batch, args.cg_iters, args.mesh,
-            dtype=args.dtype, force_scan=args.mesh_scan,
-            schedule=args.mesh_schedule,
-        )
-        label = f"sharded_cg_matvecs_per_s_mesh{args.mesh}"
-    else:
-        rate = bench_single_device(
-            graph, eps, args.nu, args.ls, args.batch, args.cg_iters,
-            args.dtype,
-        )
-        label = "cg_matvecs_per_s_1chip"
+    import contextlib
     import json
 
-    print(json.dumps({
+    prof = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+    with prof:
+        if args.matvec_only:
+            rate, extra = bench_matvec_only(
+                graph, eps, args.batch, dtype=args.dtype, reps=args.reps
+            )
+            label = "spmv_matvecs_per_s_1chip"
+        elif args.mesh:
+            rate, extra = bench_sharded(
+                graph, eps, args.nu, args.ls, args.batch, args.cg_iters,
+                args.mesh, dtype=args.dtype, force_scan=args.mesh_scan,
+                schedule=args.mesh_schedule, reps=args.reps,
+            )
+            label = f"sharded_cg_matvecs_per_s_mesh{args.mesh}"
+        else:
+            rate, extra = bench_single_device(
+                graph, eps, args.nu, args.ls, args.batch, args.cg_iters,
+                args.dtype, reps=args.reps,
+            )
+            label = "cg_matvecs_per_s_1chip"
+
+    row = {
         "metric": label, "value": round(rate, 1), "unit": "matvec/s",
         "n": args.n, "k": args.k, "batch": args.batch, "dtype": args.dtype,
         "graph": build_backend, "graph_build_s": round(build_s, 2),
-    }))
+    }
+    row.update(extra)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
