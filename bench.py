@@ -85,7 +85,7 @@ def bench_jax(x, k, batch, iters=40):
         dsq_host = jnp.sqrt(coeffs.deg[layout.perm])[:, None]
 
         @jax.jit
-        def mv_chain(blocks, dsq, v):
+        def mv_chain(blocks, dsq, v, n_iters):
             def body(_, pw):
                 t = mv_fn(blocks, pw)
                 # Normalize by the original-space first column, exactly like
@@ -93,14 +93,14 @@ def bench_jax(x, k, batch, iters=40):
                 return t / jnp.linalg.norm(t[:, :1] / dsq)
 
             pw = permute_in(layout, v) * dsq
-            pw = jax.lax.fori_loop(0, iters, body, pw)
+            pw = jax.lax.fori_loop(0, n_iters, body, pw)
             return permute_out(layout, pw / dsq)
 
-        chain = lambda v: mv_chain(blocks, dsq_host, v)  # noqa: E731
+        chain = lambda v, n: mv_chain(blocks, dsq_host, v, n)  # noqa: E731
     else:
 
         @jax.jit
-        def mv_chain(triu, diag, deg, v):
+        def mv_chain(triu, diag, deg, v, n_iters):
             c = coeffs._replace(triu=triu, diag=diag, deg=deg)
 
             def body(_, vec):
@@ -108,9 +108,11 @@ def bench_jax(x, k, batch, iters=40):
                 # Normalize to keep values finite over the chain.
                 return out / jnp.linalg.norm(out[:, :1])
 
-            return jax.lax.fori_loop(0, iters, body, v)
+            return jax.lax.fori_loop(0, n_iters, body, v)
 
-        chain = lambda v: mv_chain(coeffs.triu, coeffs.diag, coeffs.deg, v)  # noqa: E731
+        chain = lambda v, n: mv_chain(  # noqa: E731
+            coeffs.triu, coeffs.diag, coeffs.deg, v, n
+        )
 
     v = jnp.asarray(
         np.random.default_rng(1).standard_normal((graph.num_nodes, batch)).astype(
@@ -118,20 +120,29 @@ def bench_jax(x, k, batch, iters=40):
         )
     )
     # Completion fence: block_until_ready does NOT reliably block on the
-    # tunneled TPU backend; a scalar device->host read does. One fence
-    # amortized over iters matvecs keeps the tunnel RTT negligible.
-    out = chain(v)
+    # tunneled TPU backend; a scalar device->host read does. At 10k nodes a
+    # 40-iter chain runs in ~15 ms — the same order as one tunnel round
+    # trip — so ANY absolute (chain + fence) timing carries a large additive
+    # RTT bias that varies with tunnel conditions (this, not a kernel
+    # change, is what moved the r03 -> r04 headline; round-4 VERDICT item
+    # 3). SLOPE timing removes it: time a short and a long chain and take
+    # rate = delta(iters) * batch / delta(t) — the fixed dispatch + fence
+    # cost cancels, leaving pure device throughput (the quantity
+    # "matvecs/s/chip" names). Median of 5 slope pairs, spread recorded.
+    lo, hi = iters, 8 * iters
+    out = chain(v, hi)  # compile + warm
     float(out[0, 0])
-    # Median of 5 independently timed chains with recorded spread: round-4
-    # VERDICT item 3 — the single 3-rep aggregate could not adjudicate the
-    # r03->r04 10.3% headline move (noise vs regression).
     reps = 5
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = chain(out)
+        out = chain(out, lo)
         float(out[0, 0])
-        rates.append(iters * batch / (time.perf_counter() - t0))
+        t1 = time.perf_counter()
+        out = chain(out, hi)
+        float(out[0, 0])
+        t2 = time.perf_counter()
+        rates.append((hi - lo) * batch / ((t2 - t1) - (t1 - t0)))
     rates = np.sort(rates)
     median = float(np.median(rates))
     spread = float((rates[-1] - rates[0]) / median)

@@ -316,7 +316,8 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
     return rate, extra
 
 
-def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32"):
+def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32",
+                      f32_precision="highest"):
     """Pure fused-SpMV chain — no CG, no Matérn composition: the strict
     kernel speed-of-light measurement (round-4 VERDICT item 1). Chain of
     ``iters`` bare kernel applies in permuted space with one normalization
@@ -350,13 +351,13 @@ def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32"):
         coeffs.diag, coeffs.triu
     )
     mv_fn = (
-        make_matvec_ad(layout)
+        make_matvec_ad(layout, f32_precision=f32_precision)
         if pallas
         else lambda blk, pv: matvec_permuted(layout, blk, pv)
     )
     spec = normalize_spec(layout)
-    print(f"# matvec-only: N={graph.num_nodes} spec={spec} pallas={pallas}",
-          file=sys.stderr)
+    print(f"# matvec-only: N={graph.num_nodes} spec={spec} pallas={pallas} "
+          f"f32_prec={f32_precision}", file=sys.stderr)
 
     @jax.jit
     def chain(blocks_, pv):
@@ -390,6 +391,7 @@ def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32"):
         "reps": reps,
         "rate_spread": round(float((rates[-1] - rates[0]) / rate), 3),
         "spmv_format": mv["format"],
+        "f32_precision": f32_precision,
         "bytes_per_matvec": round(per_mv, 1),
         "operator_bytes_per_apply": mv["operator"],
         "achieved_gbps": round(rate * per_mv / 1e9, 1),
@@ -526,6 +528,11 @@ def main():
     ap.add_argument("--matvec-only", action="store_true",
                     help="instead of CG: time a bare fused-SpMV chain (the "
                          "strict kernel speed-of-light row; exact bytes)")
+    ap.add_argument("--f32-precision", choices=["highest", "high"],
+                    default="highest",
+                    help="f32 panel matmul precision: 'highest' = 6-pass "
+                         "bf16x3 (parity default); 'high' = 3-pass at half "
+                         "the MXU cost (~2^-21 rel error)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed rep "
                          "into DIR (roofline attribution)")
@@ -614,7 +621,8 @@ def main():
     with prof:
         if args.matvec_only:
             rate, extra = bench_matvec_only(
-                graph, eps, args.batch, dtype=args.dtype, reps=args.reps
+                graph, eps, args.batch, dtype=args.dtype, reps=args.reps,
+                f32_precision=args.f32_precision,
             )
             label = "spmv_matvecs_per_s_1chip"
         elif args.mesh:

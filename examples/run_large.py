@@ -1,0 +1,282 @@
+#!/usr/bin/env python3
+"""Sustained large-N training campaign on the synthetic curve manifold.
+
+The reference's full-protocol runs (its notebooks: build graph -> train
+hyperparameters -> eval basis -> posterior metrics, SURVEY §3.2/§3.3) exist
+in this repo at reference scale as ``examples/run_*.py``; this entry point
+runs the SAME protocol at the scale the reference cannot reach (round-4
+VERDICT item 2): a 262k-node (default) noisy 3D curve, tens of epochs of
+precision-form MLL training end to end, with
+
+  * a REAL kNN graph build (device IVF above 200k) through the keyed on-disk
+    cache (``utils.cache.cached_graph`` — its first production caller: the
+    second invocation of this script skips the build and prints the seconds
+    saved);
+  * epoch-amortized preconditioning (``precond_refresh``) and
+    checkpoint-every-k with resume;
+  * spectral-basis eval through ``cached_eval_basis`` (LOBPCG above
+    ``eigh_max_size``), posterior RMSE/NLL at held-out points against the
+    curve's KNOWN ground truth, and CG iteration counts at the initial vs
+    trained hyperparameters.
+
+Ground truth: points x(t) on a closed curve in R^3 (the BASELINE config-5
+manifold), y_true(t) = sin(3t) + 0.5 sin(7t) — a function of the manifold
+coordinate, exactly the regime the geometry-aware kernel exists for.
+Labels are y_true + 0.1 N(0,1), normalized by train statistics (the
+reference's y-noise + normalize_y protocol, e.g. 1D notebook cell
+"af216c23").
+
+Usage:
+  python examples/run_large.py                       # 262k, 50 epochs (TPU)
+  python examples/run_large.py --n 1000000 --epochs 20
+  python examples/run_large.py --n 8192 --epochs 5 --cpu   # smoke
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def curve_points(n: int, seed: int = 0):
+    """Noisy closed 3D curve (same generator as benchmark/bench_large_scale
+    — duplicated so the example stays importable on its own)."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    x = np.stack(
+        [np.cos(t), np.sin(t), 0.3 * np.sin(2 * t)], axis=1
+    ).astype(np.float32)
+    x += (0.1 / n) * rng.standard_normal(x.shape).astype(np.float32)
+    return x, t
+
+
+def run_campaign(
+    n: int = 262_144,
+    k: int = 16,
+    epochs: int = 50,
+    num_test: int = 2048,
+    num_modes: int = 50,
+    cache_dir: str = ".mgp_cache",
+    checkpoint_every: int = 10,
+    precond_refresh: int = 10,
+    lr: float = 1e-1,
+    seed: int = 0,
+    verbose: bool = False,
+    resume: bool = True,
+    nu: int = 2,
+    metrics_path=None,
+):
+    """Full train->eval->posterior cycle at scale; returns a result dict."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu import InferenceConfig, RiemannGP, RiemannMaternKernel
+    from manifold_gp_tpu.ops.cg import cg_raw
+    from manifold_gp_tpu.ops.graph import build_graph
+    from manifold_gp_tpu.utils import manifold_informed_train, test_model
+    from manifold_gp_tpu.utils.cache import cached_eval_basis, cached_graph
+    from manifold_gp_tpu.utils.metrics import MetricsRecorder
+
+    timings = {}
+    rng = np.random.default_rng(seed)
+    x_all, t_all = curve_points(n, seed=seed)
+    y_true = np.sin(3 * t_all) + 0.5 * np.sin(7 * t_all)
+    y_noisy = (y_true + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    perm = rng.permutation(n)
+    test_idx = perm[:num_test]
+    train_idx = np.sort(perm[num_test:])
+    train_x, test_x = x_all[train_idx], x_all[test_idx]
+    mu_y, std_y = y_noisy[train_idx].mean(), y_noisy[train_idx].std(ddof=1)
+    train_y = (y_noisy[train_idx] - mu_y) / std_y
+    test_y = (y_noisy[test_idx] - mu_y) / std_y
+    test_y_true = (y_true[test_idx] - mu_y) / std_y
+
+    # REAL graph build through the keyed cache (first production caller —
+    # round-4 VERDICT item 8). Cached UNSCALED; the unit-bandwidth rescale
+    # below is a pure units change applied after load.
+    n_tr = train_x.shape[0]
+    if n_tr > 200_000:
+        nlist = 2 ** int(round(np.log2(4.0 * np.sqrt(n_tr))))
+        backend_key = f"ivf-nlist{nlist}-nprobe16-it5"
+        builder = lambda: build_graph(  # noqa: E731
+            train_x, k, knn_backend="ivf", ivf_nlist=nlist, ivf_nprobe=16,
+            ivf_kmeans_iters=5,
+        )
+    else:
+        backend_key = "device" if jax.devices()[0].platform == "tpu" else "host"
+        builder = lambda: build_graph(train_x, k, knn_backend=backend_key)  # noqa: E731
+    t0 = time.perf_counter()
+    graph, hit = cached_graph(
+        train_x, k, cache_dir, knn_backend=backend_key, builder=builder
+    )
+    timings["graph_build_s"] = round(time.perf_counter() - t0, 2)
+    timings["graph_cache_hit"] = hit
+    print(f"# graph[{backend_key}]: {timings['graph_build_s']}s "
+          f"cache_hit={hit} M={graph.num_edges}", file=sys.stderr)
+
+    # Unit-bandwidth coordinate scaling (same conditioning practice as
+    # benchmark/bench_large_scale.py main(): eps ~ 1e-5 at this density
+    # would overflow a nu=2 noisy f32 apply).
+    import dataclasses as _dc
+
+    eps = 2.0 * float(np.sqrt(np.median(np.asarray(graph.sqdist))))
+    graph = _dc.replace(graph, sqdist=graph.sqdist / np.float32(eps) ** 2)
+    train_x_s = train_x / eps
+    test_x_s = test_x / eps
+
+    cfg = InferenceConfig(
+        max_cholesky=0,
+        dense_operator_max_size=0,
+        num_probes=128,
+        lanczos_max_iter=32,
+        cg_tolerance=1e-2,
+        cg_max_iter=200,
+        precond_type="pivchol",
+    )
+    kernel = RiemannMaternKernel(
+        nu=nu,
+        x=train_x_s,
+        nearest_neighbors=k,
+        laplacian_normalization="randomwalk",
+        num_modes=num_modes,
+        cfg=cfg,
+        graph=graph,
+    )
+    model = RiemannGP(train_x_s, jnp.asarray(train_y), kernel, cfg=cfg)
+    params = model.init_params(
+        noise=1e-2, outputscale=1.0, graphbandwidth=1.0, lengthscale=1.0
+    )
+
+    # CG iteration count at the INITIAL hyperparameters (preconditioned the
+    # way training solves are), for the staleness/conditioning record.
+    def cg_iters(p):
+        mv = model.precision_matvec(p)
+        _, it = cg_raw(
+            mv, jnp.asarray(train_y), tol=cfg.cg_tolerance,
+            max_iter=cfg.cg_max_iter, with_info=True,
+        )
+        return int(it)
+
+    timings["cg_iters_initial"] = cg_iters(params)
+
+    metrics = MetricsRecorder(path=metrics_path, verbose=False)
+    ckpt = os.path.join(cache_dir, f"campaign_{n}_{k}_{seed}.ckpt.npz")
+    t0 = time.perf_counter()
+    params, loss, history = manifold_informed_train(
+        model,
+        params,
+        lr=lr,
+        weight_decay=0.0,
+        max_iter=epochs - 1,  # reference loop is epoch <= max_iter
+        tolerance=1e-2,
+        num_rand_vec=100,
+        verbose=verbose,
+        seed=seed,
+        metrics=metrics,
+        checkpoint_path=ckpt,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        precond_refresh=precond_refresh,
+    )
+    train_s = time.perf_counter() - t0
+    timings["train_s"] = round(train_s, 1)
+    timings["s_per_epoch"] = round(train_s / max(epochs, 1), 2)
+    timings["cg_iters_trained"] = cg_iters(params)
+    print(f"# trained {epochs} epochs in {train_s:.1f}s "
+          f"({timings['s_per_epoch']}s/epoch), final loss {loss:.4f}",
+          file=sys.stderr)
+
+    # Spectral basis through the keyed cache (second production caller);
+    # inject so model.eval()/test_model reuse it instead of re-solving.
+    t0 = time.perf_counter()
+    basis, bhit = cached_eval_basis(kernel, params, cache_dir)
+    timings["basis_s"] = round(time.perf_counter() - t0, 2)
+    timings["basis_cache_hit"] = bhit
+    kernel.eval_basis = lambda p: basis
+    print(f"# basis: {timings['basis_s']}s cache_hit={bhit}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    rmse, nll = test_model(model, params, test_x_s, test_y, noisy_test=True)
+    timings["eval_s"] = round(time.perf_counter() - t0, 2)
+    post = model.posterior(params, test_x_s, noisy_posterior=False)
+    rmse_true = float(np.sqrt(np.mean(
+        (np.asarray(post.mean) - test_y_true) ** 2
+    )))
+
+    result = {
+        "metric": "campaign_rmse_vs_ground_truth",
+        "value": round(rmse_true, 4),
+        "n": n,
+        "k": k,
+        "epochs": epochs,
+        "num_modes": num_modes,
+        "final_loss": round(float(loss), 4),
+        "rmse_noisy_test": round(rmse, 4),
+        "nll_noisy_test": round(nll, 4),
+        # normalized noise floor: labels carry 0.1/std_y of irreducible noise
+        "noise_floor_rmse": round(float(0.1 / std_y), 4),
+        **timings,
+    }
+    return result, params, model
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=262_144)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--num-modes", type=int, default=50)
+    ap.add_argument("--num-test", type=int, default=2048)
+    ap.add_argument("--cache-dir", default=".mgp_cache")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="use a throwaway cache dir (forces rebuilds)")
+    ap.add_argument("--checkpoint-every", type=int, default=10)
+    ap.add_argument("--precond-refresh", type=int, default=10)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--lr", type=float, default=1e-1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--metrics", default=None,
+                    help="JSONL per-epoch metrics path")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cache_dir = args.cache_dir
+    if args.no_cache:
+        import tempfile
+
+        cache_dir = tempfile.mkdtemp(prefix="mgp_nocache_")
+
+    result, _, _ = run_campaign(
+        n=args.n,
+        k=args.k,
+        epochs=args.epochs,
+        num_test=args.num_test,
+        num_modes=args.num_modes,
+        cache_dir=cache_dir,
+        checkpoint_every=args.checkpoint_every,
+        precond_refresh=args.precond_refresh,
+        lr=args.lr,
+        seed=args.seed,
+        verbose=args.verbose,
+        resume=not args.no_resume,
+        metrics_path=args.metrics,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+#!/usr/bin/env python3
+"""Designed semisupervised benchmark where geometry MUST win, at n ~ 10k.
+
+Round-4 VERDICT item 4: the reference's headline result is the SRMNIST
+semisupervised config (IMGP RMSE 0.0191 vs vanilla 0.0666,
+``examples/RMNIST_semisupervised_learning.ipynb`` cells 17/16), but on the
+offline surrogate digits the ordering inverts — leaving no >=10k-node config
+in the repo that exhibits the manifold advantage the method exists for.
+This experiment supplies one by construction:
+
+  * Manifold: a 1D Archimedean spiral with ``windings`` turns embedded in
+    R^``ambient_dim`` by a random rotation, n points, small ambient noise.
+    Adjacent windings are ~gap apart in Euclidean space while their
+    *geodesic* separation is a full winding — Euclidean kernels smear the
+    target across windings; the kNN-graph Laplacian follows the curve.
+  * Target: y(t) = sin(freq * t / windings) — smooth along the manifold
+    coordinate, oscillating across windings in ambient space.
+  * Protocol: semisupervised — graph over ALL n points, ``num_labeled``
+    labeled (the reference's SRMNIST-semisup shape: ~10% labels), trained
+    with the full ``manifold_informed_train`` protocol; vanilla RBF GP on
+    the labeled points as the baseline (reference notebook cell 16).
+
+With the defaults (n=10,010 / 1,001 labeled / 6 windings / R^20) the IMGP
+posterior interpolates along the spiral while the vanilla GP aliases
+neighboring windings — the designed >=10k-scale regression row for the
+manifold advantage. Pins: examples/spiral_pins.json via --check-pins.
+
+Usage:
+  python examples/run_spiral.py                 # full run (TPU, ~2 min)
+  python examples/run_spiral.py --check-pins    # regression adjudication
+  python examples/run_spiral.py --n 2000 --max-iter 50 --cpu   # smoke
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+PINS_PATH = os.path.join(os.path.dirname(__file__), "spiral_pins.json")
+
+
+def spiral_dataset(
+    n: int = 10_010,
+    windings: float = 6.0,
+    ambient_dim: int = 20,
+    freq: float = 9.0,
+    noise: float = 0.005,
+    seed: int = 1337,
+):
+    """Returns (x [n, ambient_dim], y [n], t [n]).
+
+    The spiral r(u) = r0 + u in polar angle theta = 2*pi*windings*u for
+    u in [0, 1): winding gap = 1/windings in-plane, so with r0 = 1 the
+    Euclidean distance between adjacent windings (~1/windings) is far
+    smaller than their geodesic separation (~2*pi*r)."""
+    rng = np.random.default_rng(seed)
+    u = np.sort(rng.uniform(0.0, 1.0, n)).astype(np.float32)
+    theta = 2.0 * np.pi * windings * u
+    r = 1.0 + u
+    plane = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+    # random orthogonal embedding R^2 -> R^ambient_dim
+    q, _ = np.linalg.qr(rng.standard_normal((ambient_dim, 2)))
+    x = plane @ q.T.astype(np.float32)
+    x += noise * rng.standard_normal(x.shape).astype(np.float32)
+    y = np.sin(freq * 2.0 * np.pi * u).astype(np.float32)
+    return x.astype(np.float32), y, u
+
+
+def run_experiment(
+    n: int = 10_010,
+    num_labeled: int = 1001,
+    windings: float = 6.0,
+    ambient_dim: int = 20,
+    freq: float = 9.0,
+    k: int = 10,
+    num_modes: int = 100,
+    max_iter: int = 300,
+    seed: int = 1337,
+    verbose: bool = False,
+):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from manifold_gp_tpu import (
+        GreaterThan,
+        InferenceConfig,
+        RBFKernel,
+        RiemannGP,
+        RiemannMaternKernel,
+        VanillaGP,
+    )
+    from manifold_gp_tpu.utils import (
+        ReduceLROnPlateau,
+        manifold_informed_train,
+        test_model,
+        vanilla_train,
+    )
+
+    x, y, u = spiral_dataset(
+        n=n, windings=windings, ambient_dim=ambient_dim, freq=freq, seed=seed
+    )
+    rng = np.random.default_rng(seed)
+    labeled = np.zeros(n, bool)
+    labeled[rng.choice(n, num_labeled, replace=False)] = True
+
+    y_noisy = y + 0.01 * rng.standard_normal(n).astype(np.float32)
+    train_y = y_noisy[labeled]
+    mu_y, std_y = train_y.mean(), train_y.std(ddof=1)
+    train_y = (train_y - mu_y) / std_y
+    test_y = (y_noisy[~labeled] - mu_y) / std_y
+
+    cfg = InferenceConfig(
+        max_cholesky=2000, cg_tolerance=1e-2, cg_max_iter=1000,
+        num_probes=64, lanczos_max_iter=64,
+    )
+    kernel = RiemannMaternKernel(
+        nu=2,
+        x=x,
+        nearest_neighbors=k,
+        laplacian_normalization="randomwalk",
+        num_modes=num_modes,
+        cfg=cfg,
+    )
+    model = RiemannGP(
+        x[labeled], jnp.asarray(train_y), kernel, labeled=labeled,
+        noise_constraint=GreaterThan(1e-8), cfg=cfg,
+    )
+    # stable-basin init: bandwidth at ~3.5x the median kNN spacing (the same
+    # heuristic run_1d.py documents), lengthscale 1
+    from manifold_gp_tpu.ops.knn import knn_search
+
+    ev = np.asarray(knn_search(x, x, k, self_query=True)[0])[:, 1:]
+    gb_init = 3.5 * float(np.median(np.sqrt(ev).mean(axis=1)))
+    params = model.init_params(
+        noise=1e-2, outputscale=1.0, graphbandwidth=gb_init, lengthscale=1.0
+    )
+    t0 = time.time()
+    params, loss, _ = manifold_informed_train(
+        model,
+        params,
+        lr=1e-1,
+        max_iter=max_iter,
+        tolerance=1e-2,
+        update_norm=100,
+        num_rand_vec=100,
+        scheduler=ReduceLROnPlateau(factor=0.5, patience=50, threshold=1e-3),
+        verbose=verbose,
+        seed=seed,
+    )
+    print(f"[manifold] final loss {loss:.4f} ({time.time()-t0:.1f}s)",
+          file=sys.stderr)
+    rmse, nll = test_model(model, params, x[~labeled], test_y, noisy_test=True)
+
+    vmodel = VanillaGP(x[labeled], jnp.asarray(train_y), RBFKernel(), cfg=cfg)
+    vparams = vmodel.init_params(noise=1e-2, outputscale=1.0, lengthscale=1.0)
+    vparams, vloss, _ = vanilla_train(
+        vmodel, vparams, lr=1e-1, max_iter=max_iter, tolerance=1e-2,
+        verbose=verbose, seed=seed,
+    )
+    vrmse, vnll = test_model(
+        vmodel, vparams, x[~labeled], test_y, noisy_test=True
+    )
+    return {
+        "n": n,
+        "num_labeled": num_labeled,
+        "windings": windings,
+        "ambient_dim": ambient_dim,
+        "k": k,
+        "num_modes": num_modes,
+        "max_iter": max_iter,
+        "imgp_rmse": round(rmse, 4),
+        "imgp_nll": round(nll, 4),
+        "vanilla_rmse": round(vrmse, 4),
+        "vanilla_nll": round(vnll, 4),
+        "advantage": round(vrmse / max(rmse, 1e-12), 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_010)
+    ap.add_argument("--num-labeled", type=int, default=1001)
+    ap.add_argument("--windings", type=float, default=6.0)
+    ap.add_argument("--ambient-dim", type=int, default=20)
+    ap.add_argument("--freq", type=float, default=9.0)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--num-modes", type=int, default=100)
+    ap.add_argument("--max-iter", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=1337)
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--save-pins", action="store_true",
+                    help="write the measured rows to examples/spiral_pins.json")
+    ap.add_argument("--check-pins", action="store_true",
+                    help="adjudicate against the stored pins (rc 1 on drift)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    result = run_experiment(
+        n=args.n,
+        num_labeled=args.num_labeled,
+        windings=args.windings,
+        ambient_dim=args.ambient_dim,
+        freq=args.freq,
+        k=args.k,
+        num_modes=args.num_modes,
+        max_iter=args.max_iter,
+        seed=args.seed,
+        verbose=args.verbose,
+    )
+    print(json.dumps(result))
+    if args.save_pins:
+        with open(PINS_PATH, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"# pins written to {PINS_PATH}", file=sys.stderr)
+    if args.check_pins:
+        with open(PINS_PATH) as f:
+            pins = json.load(f)
+        ok = True
+        # the pinned claim: IMGP beats vanilla, and IMGP RMSE within 20% of
+        # the pinned value (training is stochastic: SLQ probes + Adam path)
+        if result["imgp_rmse"] >= result["vanilla_rmse"]:
+            print("# FAIL: manifold advantage lost", file=sys.stderr)
+            ok = False
+        if result["imgp_rmse"] > 1.2 * pins["imgp_rmse"] + 1e-4:
+            print(
+                f"# FAIL: imgp_rmse {result['imgp_rmse']} vs pinned "
+                f"{pins['imgp_rmse']}", file=sys.stderr,
+            )
+            ok = False
+        print(f"# check-pins: {'OK' if ok else 'FAIL'}", file=sys.stderr)
+        sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

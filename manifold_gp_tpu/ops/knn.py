@@ -368,14 +368,15 @@ class NearestNeighbors:
         reference switches to IndexIVFFlat at N >= min_ivf = 5000,
         ``utils/nearest_neighbors.py:12,23-25``; exact search stays the
         default here because the MXU-tiled brute force is fast at the
-        reference's scales). ``mesh``: run exact searches row-sharded over
-        the device mesh (parallel.knn — the multi-chip FAISS-equivalent
-        surface); mutually exclusive with use_ivf."""
+        reference's scales). ``mesh``: run searches row-sharded over the
+        device mesh (parallel.knn — the multi-chip FAISS-equivalent
+        surface). ``mesh`` + ``use_ivf`` composes: the query-row-sharded IVF
+        search with a replicated quantizer (parallel.knn.sharded_ivf_search;
+        round-4 VERDICT item 5 lifted the earlier mutual-exclusion)."""
         self.x = jnp.asarray(x, jnp.float32)
         self.index = None
         self.mesh = mesh
         if use_ivf:
-            assert mesh is None, "IVF and mesh search are mutually exclusive"
             self.index = ivf_build(self.x, nlist=nlist)
             self.nprobe = (
                 nprobe if nprobe is not None else max(8, self.index.nlist // 8)
@@ -388,6 +389,13 @@ class NearestNeighbors:
         explicitly to override."""
         if self_query is None:
             self_query = queries is self.x
+        if self.index is not None and self.mesh is not None:
+            from ..parallel.knn import sharded_ivf_search
+
+            return sharded_ivf_search(
+                self.index, jnp.asarray(queries, jnp.float32), k, self.mesh,
+                nprobe=self.nprobe, self_query=self_query,
+            )
         if self.mesh is not None:
             from ..parallel.knn import sharded_knn_search
 
@@ -404,19 +412,17 @@ class NearestNeighbors:
 
     def graph(self, k: int):
         """Symmetric kNN edge list through whichever search backend this
-        index was configured with (mesh-sharded / the already-built IVF
-        index / exact); see ops.graph.build_graph,
+        index was configured with (mesh-sharded exact / mesh-sharded IVF /
+        the already-built IVF index / exact); see ops.graph.build_graph,
         parallel.knn.build_graph_sharded."""
-        if self.mesh is not None:
+        if self.mesh is not None and self.index is None:
             from ..parallel.knn import build_graph_sharded
 
             return build_graph_sharded(self.x, k, self.mesh)
         if self.index is not None:
             from .graph import symmetrize_knn_edges
 
-            sqd, idx = ivf_search(
-                self.index, self.x, k, nprobe=self.nprobe, self_query=True
-            )
+            sqd, idx = self.search(self.x, k, self_query=True)
             return symmetrize_knn_edges(
                 np.asarray(sqd), np.asarray(idx), self.x.shape[0],
                 x=np.asarray(self.x),

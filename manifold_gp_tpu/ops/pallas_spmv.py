@@ -43,7 +43,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .block_sparse import BLOCK, BlockLayout
 
 
-def _kernel(s_max: int, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
+def _resolve_f32_precision(label: str):
+    """f32 panel matmul precision: "highest" = 6-pass bf16x3 emulation
+    (bitwise CG-parity default), "high" = 3-pass bf16x3 (drops the lowest
+    cross term; ~2^-21 relative matmul error vs f32's 2^-24 — far inside
+    the solvers' 1e-2 tolerances) at HALF the MXU cost. Roofline context:
+    at 1M nodes the streaming apply is ~3 ms MXU (6-pass) + ~5.6 ms HBM,
+    so the 6-pass emulation is a material co-bottleneck (PARITY round-5)."""
+    return (
+        jax.lax.Precision.HIGH if label == "high" else jax.lax.Precision.HIGHEST
+    )
+
+
+
+def _kernel(s_max: int, f32_prec, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
     i = pl.program_id(0)
     # Stage the S needed operand blocks contiguously, then ONE panel matmul
     # [BLOCK, S*BLOCK] @ [S*BLOCK, batch] on the MXU.
@@ -62,7 +75,7 @@ def _kernel(s_max: int, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
     prec = (
         jax.lax.Precision.DEFAULT
         if blocks_ref.dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
+        else f32_prec
     )
     out_ref[:] = jnp.dot(
         blocks_ref[0],
@@ -72,7 +85,9 @@ def _kernel(s_max: int, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
     ).astype(out_ref.dtype)
 
 
-def resident_matvec_call(bc_flat, blocks, pv, *, s_max: int, interpret: bool = False):
+def resident_matvec_call(bc_flat, blocks, pv, *, s_max: int,
+                         interpret: bool = False,
+                         f32_precision: str = "highest"):
     """Core VMEM-resident matvec pallas_call with explicit dims: the row
     panels (``blocks`` [nrb, BLOCK, S*BLOCK] + ``bc_flat`` [nrb*S]) may cover
     only a SLICE of the rows while ``pv`` is the full operand those panels'
@@ -99,7 +114,9 @@ def resident_matvec_call(bc_flat, blocks, pv, *, s_max: int, interpret: bool = F
         scratch_shapes=[pltpu.VMEM((s_max * BLOCK, batch), blocks.dtype)],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, s_max),
+        functools.partial(
+            _kernel, s_max, _resolve_f32_precision(f32_precision)
+        ),
         out_shape=jax.ShapeDtypeStruct((nrb * BLOCK, batch), pv.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -112,9 +129,10 @@ def resident_matvec_call(bc_flat, blocks, pv, *, s_max: int, interpret: bool = F
     )(bc_flat, blocks, pv)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "f32_precision"))
 def block_matvec_pallas(
-    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False
+    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray,
+    interpret: bool = False, f32_precision: str = "highest",
 ):
     """L_sym @ pv in *permuted* space. pv: [Np, B] with zeroed padding rows
     (see ops.block_sparse.matvec for the permutation contract). Returns the
@@ -126,6 +144,7 @@ def block_matvec_pallas(
         pv,
         s_max=layout.max_blocks,
         interpret=interpret,
+        f32_precision=f32_precision,
     )
 
 
@@ -137,7 +156,8 @@ _OPERAND_VMEM_BUDGET = 8 * 2**20
 
 
 def _kernel_stream(
-    s_max: int, nrb: int, bc_ref, blocks_ref, pv_ref, out_ref, stage_ref, sem_ref
+    s_max: int, nrb: int, f32_prec, bc_ref, blocks_ref, pv_ref, out_ref, stage_ref,
+    sem_ref,
 ):
     """Streaming variant: the [Np, B] operand stays in HBM; each row block
     DMAs its S needed [BLOCK, B] operand slices into a double-buffered VMEM
@@ -175,7 +195,7 @@ def _kernel_stream(
     prec = (
         jax.lax.Precision.DEFAULT
         if blocks_ref.dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
+        else f32_prec
     )
     out_ref[:] = jnp.dot(
         blocks_ref[0],
@@ -192,6 +212,7 @@ def stream_matvec_call(
     *,
     s_max: int,
     interpret: bool = False,
+    f32_precision: str = "highest",
 ):
     """Core HBM-operand streaming matvec pallas_call with explicit dims (see
     ``resident_matvec_call`` for the local-panels x full-operand contract).
@@ -218,7 +239,10 @@ def stream_matvec_call(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel_stream, s_max, nrb),
+        functools.partial(
+            _kernel_stream, s_max, nrb,
+            _resolve_f32_precision(f32_precision),
+        ),
         out_shape=jax.ShapeDtypeStruct((nrb * BLOCK, batch), pv.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -234,9 +258,10 @@ def stream_matvec_call(
     )(bc_flat, blocks, pv)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "f32_precision"))
 def block_matvec_pallas_streaming(
-    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False
+    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray,
+    interpret: bool = False, f32_precision: str = "highest",
 ):
     """L_sym @ pv in permuted space with an HBM-resident operand.
 
@@ -251,6 +276,7 @@ def block_matvec_pallas_streaming(
         pv,
         s_max=layout.max_blocks,
         interpret=interpret,
+        f32_precision=f32_precision,
     )
 
 
@@ -375,7 +401,8 @@ def block_bwd_blocks_pallas_streaming(
     )
 
 
-def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
+def make_matvec_ad(layout: BlockLayout, interpret: bool = False,
+                   f32_precision: str = "highest"):
     """Differentiable Pallas block matvec: (blocks, pv) -> L @ pv in permuted
     space, with a custom VJP so the *training* hot loop can run the fused
     kernel too (the bare kernel defines no transpose/JVP rules).
@@ -401,7 +428,10 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
         # a [1M, 1] operand really occupies [1M, 128] floats in VMEM.
         phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
         if phys <= _OPERAND_VMEM_BUDGET:
-            return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
+            return block_matvec_pallas(
+                layout, blocks, pv, interpret=interpret,
+                f32_precision=f32_precision,
+            )
         # Mosaic DMA slices need a 128-multiple lane (batch) dim: pad the RHS
         # up to the lane width and slice the result, so batch-1 quad matvecs,
         # 100-probe average_variance solves and odd-width Schur inner solves
@@ -413,7 +443,10 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
         pad = -b % BLOCK
         if pad:
             pv = jnp.pad(pv, ((0, 0), (0, pad)))
-        out = block_matvec_pallas_streaming(layout, blocks, pv, interpret=interpret)
+        out = block_matvec_pallas_streaming(
+            layout, blocks, pv, interpret=interpret,
+            f32_precision=f32_precision,
+        )
         return out[:, :b] if pad else out
 
     @jax.custom_vjp

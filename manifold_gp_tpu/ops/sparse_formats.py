@@ -75,12 +75,19 @@ def permute_out(layout: Layout, pv: jnp.ndarray) -> jnp.ndarray:
     return block_sparse.permute_out(layout, pv)
 
 
-def make_matvec_ad(layout: Layout, interpret: bool = False):
+def make_matvec_ad(layout: Layout, interpret: bool = False,
+                   f32_precision: str = "highest"):
+    """``f32_precision``: "highest" (6-pass f32-exact MXU emulation, the
+    parity default) or "high" (3-pass bf16x3 — half the MXU cost at ~2^-21
+    relative matmul error; see pallas_spmv._resolve_f32_precision). DIA is
+    VPU work and ignores it."""
     if isinstance(layout, DiaLayout):
         return dia.make_matvec_ad(layout, interpret=interpret)
     from .pallas_spmv import make_matvec_ad as block_make_matvec_ad
 
-    return block_make_matvec_ad(layout, interpret=interpret)
+    return block_make_matvec_ad(
+        layout, interpret=interpret, f32_precision=f32_precision
+    )
 
 
 def matvec(layout: Layout, buf: jnp.ndarray, v: jnp.ndarray):

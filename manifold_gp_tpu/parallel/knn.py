@@ -229,3 +229,116 @@ def build_graph_sharded(
     return symmetrize_knn_edges(
         np.asarray(sqd), np.asarray(idx), x.shape[0], x=np.asarray(x)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded IVF: query rows sharded over the mesh, quantizer replicated
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "mesh", "self_query", "block_size")
+)
+def _sharded_ivf_chunk(index, q, k, nprobe, mesh, self_query, block_size,
+                       row_offset):
+    """One dispatch of the query-row-sharded IVF search: the coarse quantizer
+    (tiny), posting lists and database are replicated; each device probes the
+    nprobe nearest lists for its own query rows — the exact per-query work of
+    ``ops.knn._ivf_search_jit`` under a shard_map. Candidate ordering is
+    probes-major, identical to the single-device kernel, so results match it
+    exactly (not just statistically)."""
+    db, cent = index.database, index.centroids
+    cn = jnp.sum(cent * cent, axis=-1)
+    ndev = mesh.devices.size
+    qp, nq = _pad_to(q, ndev * block_size)
+    rows_per_dev = qp.shape[0] // ndev
+
+    def shard_fn(q_loc):
+        dev = jax.lax.axis_index(NODE_AXIS)
+        base = jnp.int32(row_offset) + dev * rows_per_dev
+        nb = q_loc.shape[0] // block_size
+        qb = q_loc.reshape(nb, block_size, -1)
+        row0 = base + jnp.arange(nb) * block_size
+
+        def one_block(args):
+            blk, r0 = args
+            qn = jnp.sum(blk * blk, axis=-1)
+            cd = (
+                qn[:, None]
+                + cn[None, :]
+                - 2.0 * jnp.dot(blk, cent.T, precision=_HIGHEST)
+            )
+            _, probes = jax.lax.top_k(-cd, nprobe)
+            cand = index.lists[probes].reshape(block_size, -1)
+            cmask = index.list_mask[probes].reshape(block_size, -1)
+            pts = db[cand]
+            d = (
+                qn[:, None]
+                + jnp.sum(pts * pts, axis=-1)
+                - 2.0 * jnp.einsum("bd,bcd->bc", blk, pts, precision=_HIGHEST)
+            )
+            d = jnp.where(cmask > 0, d, jnp.inf)
+            if self_query:
+                rows = r0 + jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+                d = jnp.where((cand == rows) & (cmask > 0), -1.0, d)
+            neg_topk, pos = jax.lax.top_k(-d, k)
+            return (
+                jnp.maximum(-neg_topk, 0.0),
+                jnp.take_along_axis(cand, pos, axis=1),
+            )
+
+        dd, ii = jax.lax.map(one_block, (qb, row0))
+        return dd.reshape(-1, k), ii.reshape(-1, k)
+
+    d, i = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(NODE_AXIS, None),),
+        out_specs=(P(NODE_AXIS, None), P(NODE_AXIS, None)),
+        check_vma=False,
+    )(qp)
+    return d[:nq], i[:nq]
+
+
+def sharded_ivf_search(
+    index,
+    queries,
+    k: int,
+    mesh: Mesh,
+    nprobe: int = 8,
+    self_query: bool = False,
+    block_size: int = 256,
+    queries_per_dispatch: int = 131072,
+):
+    """Approximate IVF L2 top-k with query rows sharded over ``mesh``.
+
+    The pod-scale form of ``ops.knn.ivf_search`` (round-4 VERDICT item 5;
+    SURVEY §2.2 row 1 "IVF-style coarse quantization optional" on the
+    sharded build): quantizer/lists/database replicated (centroids are tiny;
+    the *search* compute is what outgrows one chip — a 1M x nprobe·Lmax
+    candidate sweep), query rows sharded, host-level chunking like the
+    single-device dispatch (a single million-query XLA program is liable to
+    be killed by tunneled workers). Results are identical to the
+    single-device IVF search on the same index.
+    """
+    from ..ops.knn import IVFIndex  # noqa: F401 (type documentation)
+
+    q = jnp.asarray(queries, jnp.float32)
+    nprobe = min(nprobe, index.nlist)
+    nq = q.shape[0]
+    if nq > queries_per_dispatch:
+        outs = []
+        for s in range(0, nq, queries_per_dispatch):
+            outs.append(
+                _sharded_ivf_chunk(
+                    index, q[s : s + queries_per_dispatch], k, nprobe, mesh,
+                    bool(self_query), int(block_size), s,
+                )
+            )
+        return (
+            jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0),
+        )
+    return _sharded_ivf_chunk(
+        index, q, k, nprobe, mesh, bool(self_query), int(block_size), 0
+    )

@@ -229,3 +229,63 @@ def test_nearest_neighbors_ivf_graph_uses_index(cloud):
         & set(zip(np.asarray(g_exact.rows).tolist(), np.asarray(g_exact.cols).tolist()))
     ) / g_exact.num_edges
     assert overlap > 0.98, overlap
+
+
+def test_sharded_ivf_matches_single_device(cloud, mesh):
+    """Query-row-sharded IVF over the SAME index reproduces the
+    single-device IVF search exactly (identical candidate ordering; round-4
+    VERDICT item 5)."""
+    from manifold_gp_tpu.ops.knn import ivf_build, ivf_search
+    from manifold_gp_tpu.parallel.knn import sharded_ivf_search
+
+    index = ivf_build(cloud, nlist=32)
+    k, nprobe = 9, 8
+    d_ref, i_ref = ivf_search(index, cloud, k, nprobe=nprobe, self_query=True)
+    d_sh, i_sh = sharded_ivf_search(
+        index, cloud, k, mesh, nprobe=nprobe, self_query=True, block_size=64
+    )
+    assert_topk_equal(d_sh, i_sh, d_ref, i_ref)
+    # out-of-sample queries, count NOT divisible by the mesh
+    rng = np.random.default_rng(3)
+    q = cloud[: 333] + 0.01 * rng.standard_normal((333, 3)).astype(np.float32)
+    d_ref, i_ref = ivf_search(index, q, k, nprobe=nprobe)
+    d_sh, i_sh = sharded_ivf_search(index, q, k, mesh, nprobe=nprobe,
+                                    block_size=64)
+    assert_topk_equal(d_sh, i_sh, d_ref, i_ref)
+
+
+def test_sharded_ivf_chunked_dispatch(cloud, mesh):
+    """Host-level chunking composes with the sharded dispatch (chunk
+    boundaries preserve global self-match row ids)."""
+    from manifold_gp_tpu.ops.knn import ivf_build, ivf_search
+    from manifold_gp_tpu.parallel.knn import sharded_ivf_search
+
+    index = ivf_build(cloud, nlist=32)
+    k, nprobe = 7, 8
+    d_ref, i_ref = ivf_search(index, cloud, k, nprobe=nprobe, self_query=True)
+    d_sh, i_sh = sharded_ivf_search(
+        index, cloud, k, mesh, nprobe=nprobe, self_query=True, block_size=64,
+        queries_per_dispatch=512,
+    )
+    assert_topk_equal(d_sh, i_sh, d_ref, i_ref)
+    # self-match must sit in column 0 for every query in every chunk
+    assert np.array_equal(np.asarray(i_sh)[:, 0], np.arange(cloud.shape[0]))
+
+
+def test_nearest_neighbors_mesh_ivf_compose(cloud, mesh):
+    """NearestNeighbors(mesh=..., use_ivf=True) — formerly asserted mutually
+    exclusive — searches and builds through the sharded IVF path with
+    near-exact recall at full probing."""
+    from manifold_gp_tpu.ops.knn import NearestNeighbors
+
+    nn = NearestNeighbors(cloud, use_ivf=True, nlist=32, nprobe=32, mesh=mesh)
+    d, i = nn.search(cloud, 6, self_query=True)
+    d_ref, i_ref = knn_search(cloud, cloud, 6, self_query=True)
+    assert_topk_equal(d, i, d_ref, i_ref)
+    g_ivf = nn.graph(6)
+    g_exact = build_graph(cloud, 6)
+    overlap = len(
+        set(zip(np.asarray(g_ivf.rows).tolist(), np.asarray(g_ivf.cols).tolist()))
+        & set(zip(np.asarray(g_exact.rows).tolist(), np.asarray(g_exact.cols).tolist()))
+    ) / g_exact.num_edges
+    assert overlap > 0.98, overlap
