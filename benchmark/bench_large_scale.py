@@ -162,7 +162,7 @@ def bench_single_device(graph, eps, nu, ls, batch, cg_iters, dtype="float32",
     # assembled EAGERLY outside the timed region and passed as jit arguments,
     # exactly like the sharded bench path (round-3 ADVICE item 1: the ratio
     # table must compare equal work).
-    panel_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+    panel_dtype = {"bfloat16": jnp.bfloat16, "float32x3": "float32x3"}.get(dtype)
 
     if layout is not None:
         qblocks, dsq_p = matern_precision_operands(
@@ -316,8 +316,7 @@ def bench_sharded(graph, eps, nu, ls, batch, cg_iters, mesh_size,
     return rate, extra
 
 
-def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32",
-                      f32_precision="highest"):
+def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32"):
     """Pure fused-SpMV chain — no CG, no Matérn composition: the strict
     kernel speed-of-light measurement (round-4 VERDICT item 1). Chain of
     ``iters`` bare kernel applies in permuted space with one normalization
@@ -346,18 +345,18 @@ def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32",
     layout = build_layout(graph)
     assert layout is not None, "matvec-only mode needs a fused layout"
     pallas = jax.devices()[0].platform == "tpu"
-    buf_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+    buf_dtype = {"bfloat16": jnp.bfloat16, "float32x3": "float32x3"}.get(dtype)
     blocks = jax.jit(lambda d, t: assemble(layout, d, t, dtype=buf_dtype))(
         coeffs.diag, coeffs.triu
     )
     mv_fn = (
-        make_matvec_ad(layout, f32_precision=f32_precision)
+        make_matvec_ad(layout)
         if pallas
         else lambda blk, pv: matvec_permuted(layout, blk, pv)
     )
     spec = normalize_spec(layout)
     print(f"# matvec-only: N={graph.num_nodes} spec={spec} pallas={pallas} "
-          f"f32_prec={f32_precision}", file=sys.stderr)
+          f"dtype={dtype}", file=sys.stderr)
 
     @jax.jit
     def chain(blocks_, pv):
@@ -384,6 +383,7 @@ def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32",
         rates.append(iters * batch / (time.perf_counter() - t0))
     rates = np.sort(rates)
     rate = float(np.median(rates))
+    # x3 stores hi+lo bf16 = 4 bytes per entry, same stream as f32
     mv = matvec_bytes(layout, batch,
                       buf_dtype_bytes=2 if dtype == "bfloat16" else 4)
     per_mv = (mv["total"] + 2 * spec["num_padded"] * batch * 4) / batch
@@ -391,7 +391,6 @@ def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32",
         "reps": reps,
         "rate_spread": round(float((rates[-1] - rates[0]) / rate), 3),
         "spmv_format": mv["format"],
-        "f32_precision": f32_precision,
         "bytes_per_matvec": round(per_mv, 1),
         "operator_bytes_per_apply": mv["operator"],
         "achieved_gbps": round(rate * per_mv / 1e9, 1),
@@ -401,6 +400,62 @@ def bench_matvec_only(graph, eps, batch, iters=50, reps=5, dtype="float32",
         extra["hbm_peak_gbps"] = round(peak / 1e9, 1)
         extra["pct_of_hbm_peak"] = round(100.0 * rate * per_mv / peak, 1)
     return rate, extra
+
+
+def bench_ivf_recall(x, k, graph, build_s, num_samples=10000, seed=3):
+    """IVF recall at the OPERATING point (round-4 VERDICT item 6): the
+    round-4 0.99-recall figure was measured at 100k and extrapolated to the
+    1M build. Here: per-query recall@k of the shipped IVF configuration on
+    ``num_samples`` sampled database points against the EXACT search of
+    those same queries (exact full search at 1M is infeasible per query
+    budget; sampled is not — 10k x 1M distance tiles are ~20 s of MXU), plus
+    the built graph's edge count vs the k*N/2-ish expectation."""
+    import jax.numpy as jnp
+
+    from manifold_gp_tpu.ops.knn import ivf_build, ivf_search, knn_search
+
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    sample = np.sort(rng.choice(n, size=min(num_samples, n), replace=False))
+    xq = jnp.asarray(x[sample])
+    xd = jnp.asarray(x)
+    t0 = time.perf_counter()
+    # exact ground truth for the sampled queries (small blocks: a [B, N]
+    # f32 tile at 1M is 2 GB at B=512 — use 128)
+    d_ex, i_ex = knn_search(xd, xq, k + 1, block_size=128)
+    i_ex = np.asarray(i_ex)
+    exact_s = time.perf_counter() - t0
+    # the shipped IVF configuration (same sizing as real_manifold_graph)
+    nlist = 2 ** int(round(np.log2(4.0 * np.sqrt(n))))
+    t0 = time.perf_counter()
+    index = ivf_build(xd, nlist=nlist, kmeans_iters=5)
+    d_iv, i_iv = ivf_search(index, xq, k + 1, nprobe=16)
+    ivf_s = time.perf_counter() - t0
+    i_iv = np.asarray(i_iv)
+    # drop the self column (queries are database points)
+    recalls = []
+    for row in range(i_ex.shape[0]):
+        true = set(i_ex[row].tolist()) - {int(sample[row])}
+        got = set(i_iv[row].tolist()) - {int(sample[row])}
+        recalls.append(len(true & got) / max(len(true), 1))
+    return {
+        "metric": "ivf_recall_at_operating_point",
+        "value": round(float(np.mean(recalls)), 4),
+        "unit": "recall@k",
+        "n": n,
+        "k": k,
+        "num_samples": int(len(recalls)),
+        "recall_p05": round(float(np.percentile(recalls, 5)), 4),
+        "nlist": nlist,
+        "nprobe": 16,
+        "graph_edges": int(graph.num_edges),
+        # perfect symmetric coalesced graph of a k-NN search has between
+        # k*N/2 (fully mutual) and k*N (no mutual pairs) edges
+        "edges_per_node": round(graph.num_edges / n, 2),
+        "graph_build_s": round(build_s, 2),
+        "sampled_exact_s": round(exact_s, 1),
+        "sampled_ivf_s": round(ivf_s, 1),
+    }
 
 
 def bench_basis(graph, eps, num_modes, max_iter):
@@ -528,14 +583,14 @@ def main():
     ap.add_argument("--matvec-only", action="store_true",
                     help="instead of CG: time a bare fused-SpMV chain (the "
                          "strict kernel speed-of-light row; exact bytes)")
-    ap.add_argument("--f32-precision", choices=["highest", "high"],
-                    default="highest",
-                    help="f32 panel matmul precision: 'highest' = 6-pass "
-                         "bf16x3 (parity default); 'high' = 3-pass at half "
-                         "the MXU cost (~2^-21 rel error)")
+
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed rep "
                          "into DIR (roofline attribution)")
+    ap.add_argument("--ivf-recall", type=int, default=0, metavar="SAMPLES",
+                    help="instead of CG: measure IVF recall@k on this many "
+                         "sampled queries vs exact search at the operating "
+                         "point (use with --graph real/ivf)")
     ap.add_argument("--basis", type=int, default=0,
                     help="instead of CG: time LOBPCG basis extraction of "
                          "this many modes")
@@ -544,10 +599,13 @@ def main():
                     help="instead of CG: time one full model training step "
                          "(value_and_grad of the SLQ marginal likelihood)")
     ap.add_argument("--probes", type=int, default=128)
-    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+    ap.add_argument("--dtype", choices=["float32", "bfloat16", "float32x3"],
                     default="float32",
-                    help="SpMV panel dtype (bfloat16 halves the HBM panel "
-                         "stream; accuracy bounds in tests/test_bf16_solve.py)")
+                    help="SpMV panel dtype: bfloat16 halves the HBM panel "
+                         "stream (accuracy bounds in tests/test_bf16_solve.py); "
+                         "float32x3 keeps f32 bytes but runs the 3-pass "
+                         "bf16x3 MXU scheme (~2^-15 rel error, half the MXU "
+                         "cost of f32-HIGHEST; single-device paths only)")
     ap.add_argument("--graph", choices=["real", "procedural", "exact", "ivf"],
                     default="real",
                     help="graph source: 'real' runs an actual kNN build "
@@ -588,6 +646,15 @@ def main():
     x = x / eps
     eps = 1.0
 
+    if args.ivf_recall:
+        import json
+
+        # x was unit-bandwidth rescaled above — a pure units change that
+        # leaves every neighbor set (and hence recall) invariant
+        row = bench_ivf_recall(x, args.k, graph, build_s,
+                               num_samples=args.ivf_recall)
+        print(json.dumps(row))
+        return
     if args.train_step:
         import json
 
@@ -622,7 +689,6 @@ def main():
         if args.matvec_only:
             rate, extra = bench_matvec_only(
                 graph, eps, args.batch, dtype=args.dtype, reps=args.reps,
-                f32_precision=args.f32_precision,
             )
             label = "spmv_matvecs_per_s_1chip"
         elif args.mesh:

@@ -141,14 +141,32 @@ def run_campaign(
         cg_max_iter=200,
         precond_type="pivchol",
     )
+    # The reference's data-driven bandwidth floor (identical cell in every
+    # notebook, e.g. 1D supervised nb "74cd3ae2"; see examples/run_1d.py):
+    # eps_min = max over nodes of its 1-NN distance / sqrt(-4 ln 1e-4) keeps
+    # every node's nearest edge weight above 1e-4 — without it, 50 epochs of
+    # unconstrained Adam shrank the bandwidth below the bump support radius
+    # and ZEROED every held-out feature row (posterior collapsed to the
+    # mean; the round-5 campaign's first failure mode).
+    from manifold_gp_tpu.parameters import GreaterThan
+
+    rows_np = np.asarray(graph.rows)
+    cols_np = np.asarray(graph.cols)
+    sq_np = np.asarray(graph.sqdist)
+    min_edge = np.full(n_tr, np.inf, np.float32)
+    np.minimum.at(min_edge, rows_np, sq_np)
+    np.minimum.at(min_edge, cols_np, sq_np)
+    gb_min = float(np.sqrt(min_edge.max() / (4.0 * np.log(1e4))))
     kernel = RiemannMaternKernel(
         nu=nu,
         x=train_x_s,
         nearest_neighbors=k,
         laplacian_normalization="randomwalk",
         num_modes=num_modes,
+        bump_scale=10.0,
         cfg=cfg,
         graph=graph,
+        graphbandwidth_constraint=GreaterThan(gb_min),
     )
     model = RiemannGP(train_x_s, jnp.asarray(train_y), kernel, cfg=cfg)
     params = model.init_params(
@@ -168,7 +186,9 @@ def run_campaign(
     timings["cg_iters_initial"] = cg_iters(params)
 
     metrics = MetricsRecorder(path=metrics_path, verbose=False)
-    ckpt = os.path.join(cache_dir, f"campaign_{n}_{k}_{seed}.ckpt.npz")
+    # v2: the bandwidth-floor constraint changed the raw-parameter transform,
+    # so v1 checkpoints are not resumable
+    ckpt = os.path.join(cache_dir, f"campaign_{n}_{k}_{seed}_v2.ckpt.npz")
     t0 = time.perf_counter()
     params, loss, history = manifold_informed_train(
         model,
@@ -219,6 +239,14 @@ def run_campaign(
         "epochs": epochs,
         "num_modes": num_modes,
         "final_loss": round(float(loss), 4),
+        "graphbandwidth_trained": round(
+            float(kernel.graphbandwidth(params)), 4
+        ),
+        "graphbandwidth_floor": round(gb_min, 4),
+        "lengthscale_trained": round(
+            float(kernel.lengthscale(params)), 4
+        ),
+        "noise_trained": round(float(model.noise(params)), 6),
         "rmse_noisy_test": round(rmse, 4),
         "nll_noisy_test": round(nll, 4),
         # normalized noise floor: labels carry 0.1/std_y of irreducible noise

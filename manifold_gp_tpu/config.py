@@ -62,12 +62,15 @@ class InferenceConfig:
     use_dia: bool = True
     dia_max_offsets: int = 24
     # Storage/matmul dtype for the block-sparse panel buffer: "float32"
-    # (exact, 6-pass MXU emulation) or "bfloat16" (native MXU throughput,
+    # (exact, 6-pass MXU emulation), "bfloat16" (native MXU throughput,
     # f32 accumulation; ~1e-3 relative matvec error — safe at the
     # reference's 1e-2 CG tolerance. Measured CG-solution relative error:
     # 4e-4 on the SRMNIST-shape graph, 3.8e-3 on a small-bandwidth clustered
     # graph; trained-hyperparameter drift <2% over 10 epochs — pinned by
-    # tests/test_bf16_solve.py).
+    # tests/test_bf16_solve.py), or "float32x3" (panels split hi/lo bf16 and
+    # the kernel issues the 3-pass bf16x3 scheme: same HBM bytes as f32,
+    # HALF the MXU cost, ~2^-15 relative error — the middle rung between
+    # f32 parity and bf16 throughput; see ops.pallas_spmv).
     spmv_dtype: str = "float32"
     # Precondition every CG solve (the Schur inner solve, engine solves, and
     # the SLQ gradient solves) with the composed operator's preconditioner.

@@ -49,6 +49,17 @@ from ..ops.matern import make_matern_precision_matvec
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+
+def _panel_dtype_of(cfg):
+    """cfg.spmv_dtype -> assemble() dtype: bf16, the "float32x3" split
+    (3-pass bf16x3 MXU scheme, ops.pallas_spmv), or None (exact f32)."""
+    import jax.numpy as _jnp
+
+    return {"bfloat16": _jnp.bfloat16, "float32x3": "float32x3"}.get(
+        cfg.spmv_dtype
+    )
+
+
 class RiemannKernel:
     """Abstract graph-spectral kernel over an implicit manifold."""
 
@@ -236,9 +247,7 @@ class RiemannKernel:
 
             from ..ops.sparse_formats import assemble
 
-            dtype = (
-                _jnp.bfloat16 if self.cfg.spmv_dtype == "bfloat16" else None
-            )
+            dtype = _panel_dtype_of(self.cfg)
             blocks = assemble(self.block_layout, c.diag, c.triu, dtype=dtype)
             return None, (self.block_layout, blocks)
         return None, None
@@ -517,9 +526,7 @@ class RiemannMaternKernel(RiemannKernel):
         if self.use_dense_operator:
             dense = laplacian_dense(self.graph, c)
         elif self.block_layout is not None:
-            panel_dtype = (
-                jnp.bfloat16 if self.cfg.spmv_dtype == "bfloat16" else None
-            )
+            panel_dtype = _panel_dtype_of(self.cfg)
             block = (self.block_layout, panel_dtype)
         if block is None:
             permuted_io = False

@@ -416,19 +416,25 @@ class RiemannGP:
         sharded LOBPCG one on mesh kernels — already maintained for eval).
         Pass the result as ``precond_override`` to :meth:`mll_loss`.
 
-        Supervised + symmetric normalization only: the symmetric-Laplacian
-        eigenvectors are orthonormal and are eigenvectors of the whole
-        composed stack (a polynomial in L), with eigenvalues
-        noise(scale * (2 nu / l^2 + lambda)^nu); the randomwalk recovery's
-        degree scaling breaks orthonormality, and the Schur complement's
-        eigenvectors are not L's. The bulk scale tau is the composed value at
-        the geometric mean of the undeflated spectrum window
-        [lambda_m, Gershgorin bound].
+        Supervised only (the Schur complement's eigenvectors are not L's).
+        Symmetric normalization: the symmetric-Laplacian eigenvectors are
+        orthonormal and are eigenvectors of the whole composed stack (a
+        polynomial in L), with eigenvalues
+        noise(scale * (2 nu / l^2 + lambda)^nu) — EXACT deflation.
+        Randomwalk (round-4 VERDICT item 9): the telescoped stack is
+        Q_rw = D^{1/2} (shift I + L_sym)^nu D^{1/2}, so the symmetric
+        deflation extends by degree conjugation (ops.pivchol
+        ConjugatedPrecond) — APPROXIMATE for the noisy composition (the
+        Neumann terms interleave with D; the noise eigenvalue uses
+        sigma^2 * mean(deg) as the effective scale), measured in
+        tests/test_precondition.py to still cut CG iterations vs Jacobi.
+        The bulk scale tau is the composed value at the geometric mean of
+        the undeflated spectrum window [lambda_m, Gershgorin bound].
         """
         assert self.labeled is None, "deflation needs the unmarginalized stack"
-        assert self.kernel.laplacian_normalization == "symmetric"
+        randomwalk = self.kernel.laplacian_normalization == "randomwalk"
         from ..ops.laplacian import gershgorin_bound
-        from ..ops.pivchol import make_deflation_precond
+        from ..ops.pivchol import ConjugatedPrecond, make_deflation_precond
 
         if basis is None:
             basis = self.kernel.eval_basis(params)
@@ -444,6 +450,10 @@ class RiemannGP:
         nu = self.kernel.nu
         ls2 = jnp.square(jnp.reshape(self.kernel.lengthscale(params), ()))
         s2 = jnp.reshape(self.noise(params), ())
+        if randomwalk:
+            # noise terms see Q_rw ~ deg * Q_sym in scale: fold the mean
+            # degree into the effective noise for the conjugated core
+            s2 = s2 * jnp.mean(c.deg)
 
         def composed_eig(lam):
             q = jnp.power(2.0 * nu / ls2 + lam, float(nu))
@@ -457,14 +467,24 @@ class RiemannGP:
         lam_mid = jnp.sqrt(jnp.maximum(eigval[-1], 1e-12) * lam_hi)
         tau = jnp.maximum(composed_eig(lam_mid), 1e-12 * jnp.max(q))
         if self.mesh is None:
-            return make_deflation_precond(v, q, tau)
+            core = make_deflation_precond(v, q, tau)
+            if randomwalk:
+                dsq = jnp.sqrt(jax.lax.stop_gradient(c.deg))
+                return ConjugatedPrecond(d=dsq, inner=core)
+            return core
         rows = self.kernel.mesh_rows
         v_pad = (
             jnp.zeros((self.kernel.n_padded, v.shape[1]), jnp.float32)
             .at[rows]
             .set(v)
         )
-        return make_deflation_precond(v_pad, q, tau, mask=self._mask_l)
+        core = make_deflation_precond(v_pad, q, tau, mask=self._mask_l)
+        if randomwalk:
+            dsq_pad = self.kernel.embed_mesh_coeff(
+                jnp.sqrt(jax.lax.stop_gradient(c.deg)), fill=1.0
+            )
+            return ConjugatedPrecond(d=dsq_pad, inner=core)
+        return core
 
     # -- training loss -----------------------------------------------------
     def mll_loss(self, params, key=None, precond_override=None):

@@ -165,7 +165,12 @@ def assemble(layout: BlockLayout, diag: jnp.ndarray, triu: jnp.ndarray,
              dtype=None):
     """Scatter the current Laplacian coefficients (L = diag - A_sym) into the
     panel buffer [nrb, BLOCK, S*BLOCK]. Once per coefficient change; every
-    matvec of the surrounding CG/SLQ solve reuses it."""
+    matvec of the surrounding CG/SLQ solve reuses it.
+
+    ``dtype``: None/f32 (exact), jnp.bfloat16 (half the panel stream), or
+    the string "float32x3" — the f32 panels split into stacked (hi, lo)
+    bf16 [2, nrb, BLOCK, S*BLOCK] for the 3-pass MXU kernel
+    (ops.pallas_spmv module docstring)."""
     # One scatter-SET over the disjoint union of edge and diagonal slots:
     # every buffer position receives at most one value (edges were
     # mean-coalesced at graph build; diagonal slots never carry edges), and
@@ -180,7 +185,13 @@ def assemble(layout: BlockLayout, diag: jnp.ndarray, triu: jnp.ndarray,
     out = flat.reshape(
         layout.num_row_blocks, BLOCK, layout.max_blocks * BLOCK
     )
-    return out if dtype is None else out.astype(dtype)
+    if dtype is None:
+        return out
+    if dtype == "float32x3":
+        hi = out.astype(jnp.bfloat16)
+        lo = (out - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.stack([hi, lo], axis=0)
+    return out.astype(dtype)
 
 
 def matvec(layout: BlockLayout, blocks: jnp.ndarray, v: jnp.ndarray):
@@ -209,6 +220,8 @@ def matvec_permuted(layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray):
     """L_sym @ pv entirely in permuted (RCM) space: [Np, B] -> [Np, B].
     CG/SLQ solves run here so the permutation gathers happen once per solve,
     not once per matvec."""
+    if blocks.ndim == 4:  # x3-split panels: portable path merges back to f32
+        blocks = blocks[0].astype(jnp.float32) + blocks[1].astype(jnp.float32)
     grouped = pv.reshape(layout.num_row_blocks, BLOCK, -1)
     cb = grouped[layout.block_col]  # [nrb, S, BLOCK, batch] block gather
     cb = cb.reshape(layout.num_row_blocks, layout.max_blocks * BLOCK, -1)

@@ -80,9 +80,13 @@ def make_matern_precision_matvec(
         if blocks is None:
             panel_dtype = None
         elif isinstance(blocks, jnp.ndarray):
-            panel_dtype = blocks.dtype
+            # x3-split buffers are stacked [2, ...] bf16 — re-assembling the
+            # SHIFTED panels must reproduce the split, not plain bf16
+            panel_dtype = (
+                "float32x3" if blocks.ndim == 4 else blocks.dtype
+            )
         else:
-            panel_dtype = blocks  # a dtype
+            panel_dtype = blocks  # a dtype (or the "float32x3" tag)
         qblocks, dsq_p = matern_precision_operands(
             layout, coeffs, nu, lengthscale, dtype=panel_dtype
         )

@@ -1,8 +1,8 @@
-"""Fused Pallas TPU kernel for the block-ELL Laplacian matvec.
+"""Fused Pallas TPU kernels for the block-ELL Laplacian matvec.
 
 The XLA einsum path in ``ops.block_sparse`` materializes the gathered
-operand blocks ([nrb, S, 128, B]) in HBM every matvec. This kernel keeps the
-whole operand resident in VMEM and walks the block-column index table with
+operand blocks ([nrb, S, 128, B]) in HBM every matvec. These kernels keep the
+whole operand resident in VMEM and walk the block-column index table with
 scalar prefetching: per 128-row block, S dynamic 128-row slices of the
 operand feed MXU matmuls accumulated in registers — no operand
 materialization, one HBM stream over the block buffer.
@@ -11,13 +11,25 @@ Grid: one program per row block. VMEM footprint: operand [Np, B] (e.g.
 10,240 x 64 f32 = 2.6 MB) + one [S, 128, 128] block slice (S<=40 -> <=2.6 MB)
 + the [128, B] accumulator — comfortably under the ~16 MB budget.
 
-Numerics match ops.block_sparse.matvec exactly in float32; an optional
-bfloat16 block/operand mode trades ~3 mantissa digits for the MXU's native
-bf16 throughput (single-pass instead of 6-pass f32 emulation) — acceptable
-for CG at the reference's 1e-2 relative tolerance, gated behind
-``InferenceConfig`` rather than default.
+Three panel dtypes share the kernels (picked by the assembled buffer):
 
-Two kernels share the panel format:
+  * float32  — [nrb, BLOCK, S*BLOCK] f32 panels, MXU matmul at HIGHEST
+    (the 6-pass bf16x3 emulation; bitwise f32 parity). Roofline (measured,
+    v5e, 1M nodes, S=3, batch 128): ~3 ms MXU + ~5.6 ms HBM per apply —
+    the 6-pass emulation is a material co-bottleneck (PARITY round-5).
+  * float32x3 — [2, nrb, BLOCK, S*BLOCK] bf16: the f32 panels split as
+    hi = bf16(x), lo = bf16(x - f32(hi)) at assemble time; the kernel
+    splits the staged f32 operand the same way and issues THREE bf16 MXU
+    passes (hi.hi + hi.lo + lo.hi — the bf16_3x scheme, dropping only the
+    lo.lo term): HALF the MXU cost of HIGHEST at ~2^-15 relative matmul
+    error (vs f32's 2^-24) — far inside the solvers' 1e-2 tolerances.
+    Same HBM panel bytes as f32 (2 x bf16). Mosaic has no built-in HIGH
+    (bf16_3x) dot lowering, hence the explicit split.
+  * bfloat16 — [nrb, BLOCK, S*BLOCK] bf16, single native MXU pass, f32
+    accumulation: half the panel HBM stream and 1/6 the MXU cost; ~1e-3
+    relative matvec error (bounds pinned by tests/test_bf16_solve.py).
+
+Two kernel schedules share each dtype:
   * ``block_matvec_pallas`` — operand VMEM-resident (fastest; small/medium N);
   * ``block_matvec_pallas_streaming`` — operand HBM-resident, each row block's
     S operand slices DMA'd into a double-buffered VMEM stage (large N, e.g.
@@ -43,20 +55,75 @@ from jax.experimental.pallas import tpu as pltpu
 from .block_sparse import BLOCK, BlockLayout
 
 
-def _resolve_f32_precision(label: str):
-    """f32 panel matmul precision: "highest" = 6-pass bf16x3 emulation
-    (bitwise CG-parity default), "high" = 3-pass bf16x3 (drops the lowest
-    cross term; ~2^-21 relative matmul error vs f32's 2^-24 — far inside
-    the solvers' 1e-2 tolerances) at HALF the MXU cost. Roofline context:
-    at 1M nodes the streaming apply is ~3 ms MXU (6-pass) + ~5.6 ms HBM,
-    so the 6-pass emulation is a material co-bottleneck (PARITY round-5)."""
-    return (
-        jax.lax.Precision.HIGH if label == "high" else jax.lax.Precision.HIGHEST
+def split_bf16x3(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> stacked [2, ...] bf16 (hi, lo) with x ~ hi + lo to ~2^-16."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, lo], axis=0)
+
+
+def merge_bf16x3(x: jnp.ndarray) -> jnp.ndarray:
+    """Stacked [2, ...] bf16 (hi, lo) -> f32 reconstruction."""
+    return x[0].astype(jnp.float32) + x[1].astype(jnp.float32)
+
+
+def _is_x3(blocks) -> bool:
+    return blocks.ndim == 4 and blocks.shape[0] == 2
+
+
+def _panel_dot(blocks_blk, staged, out_dtype):
+    """One row block's panel matmul, dispatching on the panel dtype.
+
+    ``blocks_blk``: [BLOCK, S*BLOCK] (f32/bf16) or [2, BLOCK, S*BLOCK]
+    (x3 split). ``staged``: the gathered operand [S*BLOCK, B] in f32 (f32 /
+    x3 panels) or bf16 (bf16 panels). Explicit precision everywhere: on
+    Mosaic a plain f32 jnp.dot may lower to bf16 MXU multiplies; HIGHEST
+    forces the full-f32 multi-pass when the panel buffer is f32. bf16
+    operands must pin DEFAULT — precision=None inherits the session's
+    jax_default_matmul_precision (training pins "highest"), and Mosaic
+    rejects an fp32-contract matmul over bf16 operands."""
+    if blocks_blk.ndim == 3:  # x3 split panels
+        sh = staged.astype(jnp.bfloat16)
+        sl = (staged - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(
+            jnp.dot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc = (
+            dot(blocks_blk[0], sh)
+            + dot(blocks_blk[0], sl)
+            + dot(blocks_blk[1], sh)
+        )
+        return acc.astype(out_dtype)
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if blocks_blk.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    return jnp.dot(
+        blocks_blk,
+        staged,
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(out_dtype)
+
+
+def _blocks_spec(x3: bool, s_max: int):
+    if x3:
+        return pl.BlockSpec(
+            (2, 1, BLOCK, s_max * BLOCK),
+            lambda i, bc: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (1, BLOCK, s_max * BLOCK),
+        lambda i, bc: (i, 0, 0),
+        memory_space=pltpu.VMEM,
     )
 
 
-
-def _kernel(s_max: int, f32_prec, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
+def _kernel(s_max: int, bc_ref, blocks_ref, v_ref, out_ref, scratch_ref):
     i = pl.program_id(0)
     # Stage the S needed operand blocks contiguously, then ONE panel matmul
     # [BLOCK, S*BLOCK] @ [S*BLOCK, batch] on the MXU.
@@ -67,61 +134,45 @@ def _kernel(s_max: int, f32_prec, bc_ref, blocks_ref, v_ref, out_ref, scratch_re
         scratch_ref[pl.ds(s * BLOCK, BLOCK), :] = v_ref[
             pl.ds(col * BLOCK, BLOCK), :
         ].astype(scratch_ref.dtype)
-    # Explicit precision: on Mosaic a plain f32 jnp.dot may lower to bf16
-    # MXU multiplies; HIGHEST forces the full-f32 multi-pass when the panel
-    # buffer is f32. bf16 panels must pin DEFAULT — precision=None inherits
-    # the session's jax_default_matmul_precision (training pins "highest"),
-    # and Mosaic rejects an fp32-contract matmul over bf16 operands.
-    prec = (
-        jax.lax.Precision.DEFAULT
-        if blocks_ref.dtype == jnp.bfloat16
-        else f32_prec
-    )
-    out_ref[:] = jnp.dot(
-        blocks_ref[0],
-        scratch_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    ).astype(out_ref.dtype)
+    blk = blocks_ref[:, 0] if blocks_ref.ndim == 4 else blocks_ref[0]
+    out_ref[:] = _panel_dot(blk, scratch_ref[:], out_ref.dtype)
 
 
 def resident_matvec_call(bc_flat, blocks, pv, *, s_max: int,
-                         interpret: bool = False,
-                         f32_precision: str = "highest"):
+                         interpret: bool = False):
     """Core VMEM-resident matvec pallas_call with explicit dims: the row
-    panels (``blocks`` [nrb, BLOCK, S*BLOCK] + ``bc_flat`` [nrb*S]) may cover
-    only a SLICE of the rows while ``pv`` is the full operand those panels'
-    column ids index — the shape the row-sharded mesh path needs (local
-    panels x all-gathered operand). Returns [nrb*BLOCK, batch]."""
-    nrb = blocks.shape[0]
+    panels (``blocks`` [nrb, BLOCK, S*BLOCK], or [2, nrb, BLOCK, S*BLOCK]
+    for x3-split, + ``bc_flat`` [nrb*S]) may cover only a SLICE of the rows
+    while ``pv`` is the full operand those panels' column ids index — the
+    shape the row-sharded mesh path needs (local panels x all-gathered
+    operand). Returns [nrb*BLOCK, batch]."""
+    x3 = _is_x3(blocks)
+    nrb = blocks.shape[1] if x3 else blocks.shape[0]
     batch = pv.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_col index table
         grid=(nrb,),
         in_specs=[
-            pl.BlockSpec(
-                (1, BLOCK, s_max * BLOCK),
-                lambda i, bc: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            _blocks_spec(x3, s_max),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full operand (constant)
         ],
         out_specs=pl.BlockSpec(
             (BLOCK, batch), lambda i, bc: (i, 0), memory_space=pltpu.VMEM
         ),
         # bf16 panels need a bf16 staged operand (the MXU matmul must see
-        # matching element types); f32 panels stage in f32.
-        scratch_shapes=[pltpu.VMEM((s_max * BLOCK, batch), blocks.dtype)],
+        # matching element types); f32 and x3 panels stage in f32 (x3 splits
+        # the stage in-register per block).
+        scratch_shapes=[
+            pltpu.VMEM((s_max * BLOCK, batch), pv.dtype if x3 else blocks.dtype)
+        ],
     )
     return pl.pallas_call(
-        functools.partial(
-            _kernel, s_max, _resolve_f32_precision(f32_precision)
-        ),
+        functools.partial(_kernel, s_max),
         out_shape=jax.ShapeDtypeStruct((nrb * BLOCK, batch), pv.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nrb * s_max * BLOCK * BLOCK * batch,
+            flops=(3 if x3 else 2) * nrb * s_max * BLOCK * BLOCK * batch,
             bytes_accessed=blocks.size * blocks.dtype.itemsize
             + 2 * pv.size * pv.dtype.itemsize,
             transcendentals=0,
@@ -129,22 +180,20 @@ def resident_matvec_call(bc_flat, blocks, pv, *, s_max: int,
     )(bc_flat, blocks, pv)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "f32_precision"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def block_matvec_pallas(
-    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray,
-    interpret: bool = False, f32_precision: str = "highest",
+    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False
 ):
     """L_sym @ pv in *permuted* space. pv: [Np, B] with zeroed padding rows
     (see ops.block_sparse.matvec for the permutation contract). Returns the
-    permuted-product [Np, B]. ``blocks`` is the [nrb, BLOCK, S*BLOCK] panel
-    buffer (f32 or bf16)."""
+    permuted-product [Np, B]. ``blocks`` is the panel buffer (f32, bf16, or
+    x3-split)."""
     return resident_matvec_call(
         layout.block_col.reshape(-1),
         blocks,
         pv,
         s_max=layout.max_blocks,
         interpret=interpret,
-        f32_precision=f32_precision,
     )
 
 
@@ -156,8 +205,7 @@ _OPERAND_VMEM_BUDGET = 8 * 2**20
 
 
 def _kernel_stream(
-    s_max: int, nrb: int, f32_prec, bc_ref, blocks_ref, pv_ref, out_ref, stage_ref,
-    sem_ref,
+    s_max: int, nrb: int, bc_ref, blocks_ref, pv_ref, out_ref, stage_ref, sem_ref
 ):
     """Streaming variant: the [Np, B] operand stays in HBM; each row block
     DMAs its S needed [BLOCK, B] operand slices into a double-buffered VMEM
@@ -192,17 +240,12 @@ def _kernel_stream(
     for s in range(s_max):
         dma(i, slot, s).wait()
 
-    prec = (
-        jax.lax.Precision.DEFAULT
-        if blocks_ref.dtype == jnp.bfloat16
-        else f32_prec
-    )
-    out_ref[:] = jnp.dot(
-        blocks_ref[0],
-        stage_ref[slot].astype(blocks_ref.dtype),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    ).astype(out_ref.dtype)
+    x3 = blocks_ref.ndim == 4
+    blk = blocks_ref[:, 0] if x3 else blocks_ref[0]
+    st = stage_ref[slot]
+    if not x3:
+        st = st.astype(blk.dtype)
+    out_ref[:] = _panel_dot(blk, st, out_ref.dtype)
 
 
 def stream_matvec_call(
@@ -212,22 +255,18 @@ def stream_matvec_call(
     *,
     s_max: int,
     interpret: bool = False,
-    f32_precision: str = "highest",
 ):
     """Core HBM-operand streaming matvec pallas_call with explicit dims (see
     ``resident_matvec_call`` for the local-panels x full-operand contract).
     Returns [nrb*BLOCK, batch]; batch must be a multiple of 128."""
-    nrb = blocks.shape[0]
+    x3 = _is_x3(blocks)
+    nrb = blocks.shape[1] if x3 else blocks.shape[0]
     batch = pv.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_col index table
         grid=(nrb,),
         in_specs=[
-            pl.BlockSpec(
-                (1, BLOCK, s_max * BLOCK),
-                lambda i, bc: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            _blocks_spec(x3, s_max),
             pl.BlockSpec(memory_space=pl.ANY),  # operand stays in HBM
         ],
         out_specs=pl.BlockSpec(
@@ -239,10 +278,7 @@ def stream_matvec_call(
         ],
     )
     return pl.pallas_call(
-        functools.partial(
-            _kernel_stream, s_max, nrb,
-            _resolve_f32_precision(f32_precision),
-        ),
+        functools.partial(_kernel_stream, s_max, nrb),
         out_shape=jax.ShapeDtypeStruct((nrb * BLOCK, batch), pv.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -250,7 +286,7 @@ def stream_matvec_call(
             dimension_semantics=("arbitrary",),  # sequential: cross-step DMA
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nrb * s_max * BLOCK * BLOCK * batch,
+            flops=(3 if x3 else 2) * nrb * s_max * BLOCK * BLOCK * batch,
             bytes_accessed=blocks.size * blocks.dtype.itemsize
             + (nrb * s_max * BLOCK + nrb * BLOCK) * batch * pv.dtype.itemsize,
             transcendentals=0,
@@ -258,10 +294,9 @@ def stream_matvec_call(
     )(bc_flat, blocks, pv)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "f32_precision"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def block_matvec_pallas_streaming(
-    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray,
-    interpret: bool = False, f32_precision: str = "highest",
+    layout: BlockLayout, blocks: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False
 ):
     """L_sym @ pv in permuted space with an HBM-resident operand.
 
@@ -276,7 +311,6 @@ def block_matvec_pallas_streaming(
         pv,
         s_max=layout.max_blocks,
         interpret=interpret,
-        f32_precision=f32_precision,
     )
 
 
@@ -401,8 +435,7 @@ def block_bwd_blocks_pallas_streaming(
     )
 
 
-def make_matvec_ad(layout: BlockLayout, interpret: bool = False,
-                   f32_precision: str = "highest"):
+def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     """Differentiable Pallas block matvec: (blocks, pv) -> L @ pv in permuted
     space, with a custom VJP so the *training* hot loop can run the fused
     kernel too (the bare kernel defines no transpose/JVP rules).
@@ -411,7 +444,8 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False,
     VMEM-residency budget use ``block_matvec_pallas`` (whole [Np, B] operand
     pinned in VMEM); larger operands use ``block_matvec_pallas_streaming``
     (operand in HBM, double-buffered per-row-block slice DMA) — the large-N
-    regime where round 1 silently fell back to the einsum path.
+    regime where round 1 silently fell back to the einsum path. x3-split
+    panel buffers ([2, nrb, BLOCK, S*BLOCK] bf16) ride the same dispatch.
 
     VJP derivation for out = M(blocks) @ pv:
       * bar_pv = M^T g = M g — valid because ``assemble`` always scatters both
@@ -421,6 +455,8 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False,
       * bar_blocks[r, i, k] = sum_b g[r*B+i, b] * pv_gathered[r, k, b] — one
         einsum over the gathered operand blocks (the einsum path's
         materialization, paid only inside solve/logdet VJPs, once per solve).
+        For x3 panels the output is linear in (hi + lo), so both split slots
+        receive the same cotangent (bf16-cast, stacked to match the primal).
     """
 
     def run_kernel(blocks, pv):
@@ -428,10 +464,7 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False,
         # a [1M, 1] operand really occupies [1M, 128] floats in VMEM.
         phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
         if phys <= _OPERAND_VMEM_BUDGET:
-            return block_matvec_pallas(
-                layout, blocks, pv, interpret=interpret,
-                f32_precision=f32_precision,
-            )
+            return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
         # Mosaic DMA slices need a 128-multiple lane (batch) dim: pad the RHS
         # up to the lane width and slice the result, so batch-1 quad matvecs,
         # 100-probe average_variance solves and odd-width Schur inner solves
@@ -443,10 +476,7 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False,
         pad = -b % BLOCK
         if pad:
             pv = jnp.pad(pv, ((0, 0), (0, pad)))
-        out = block_matvec_pallas_streaming(
-            layout, blocks, pv, interpret=interpret,
-            f32_precision=f32_precision,
-        )
+        out = block_matvec_pallas_streaming(layout, blocks, pv, interpret=interpret)
         return out[:, :b] if pad else out
 
     @jax.custom_vjp
@@ -458,6 +488,7 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False,
 
     def bwd(res, g):
         blocks, pv = res
+        x3 = _is_x3(blocks)
         g = g.astype(pv.dtype)
         bar_pv = run_kernel(blocks, g)
         phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
@@ -472,21 +503,27 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False,
                 pv = jnp.pad(pv, ((0, 0), (0, pad)))
                 g = jnp.pad(g, ((0, 0), (0, pad)))
             bar_blocks = block_bwd_blocks_pallas_streaming(
-                layout, g, pv, out_dtype=blocks.dtype, interpret=interpret
+                layout, g, pv,
+                out_dtype=jnp.bfloat16 if x3 else blocks.dtype,
+                interpret=interpret,
             )
+            if x3:
+                bar_blocks = jnp.stack([bar_blocks, bar_blocks], axis=0)
             return bar_blocks, bar_pv
         grouped = pv.reshape(layout.num_row_blocks, BLOCK, -1)
         cb = grouped[layout.block_col].reshape(
             layout.num_row_blocks, layout.max_blocks * BLOCK, -1
         )
         gg = g.reshape(layout.num_row_blocks, BLOCK, -1)
-        if blocks.dtype == jnp.bfloat16:
+        if x3 or blocks.dtype == jnp.bfloat16:
             bar_blocks = jnp.einsum(
                 "rib,rkb->rik",
                 gg.astype(jnp.bfloat16),
                 cb.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)
+            if x3:
+                bar_blocks = jnp.stack([bar_blocks, bar_blocks], axis=0)
         else:
             bar_blocks = jnp.einsum(
                 "rib,rkb->rik", gg, cb, precision=jax.lax.Precision.HIGHEST

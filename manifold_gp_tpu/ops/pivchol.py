@@ -451,6 +451,54 @@ class MaskedDeflationPrecond:
 jax.tree_util.register_pytree_node_class(MaskedDeflationPrecond)
 
 
+@dataclasses.dataclass(frozen=True)
+class ConjugatedPrecond:
+    """M = diag(d) M_inner diag(d) — a diagonal similarity wrap of any
+    preconditioner object.
+
+    Built for the randomwalk operator family: the telescoped randomwalk
+    Matérn stack is Q_rw = D^{1/2} (shift I + L_sym)^nu D^{1/2}
+    (ops/matern.py block path), so a preconditioner for the SYMMETRIC core
+    extends to the randomwalk stack by conjugating with d = sqrt(deg). The
+    noise composition interleaves with D (Q_rw^2 != D^{1/2} A^{2nu} D^{1/2})
+    so the wrap is APPROXIMATE for the noisy stack — exactly the
+    degree-conjugated approximate deflation round-4 VERDICT item 9 asked to
+    measure; a preconditioner only needs a spectrally-reasonable SPD
+    surrogate (tests pin the measured iteration savings).
+
+      M^{-1} x  = D^{-1} M_i^{-1} D^{-1} x           (D = diag(d))
+      logdet M  = logdet M_i + 2 sum log d
+      F = D M_i^{1/2}  =>  F F' = M  (sample = d * inner.sample)
+    """
+
+    d: jnp.ndarray  # [n] > 0 conjugation diagonal (1.0 on padding rows)
+    inner: object  # any precond object (apply/sample/unit_sample/logdet)
+
+    def apply(self, v):
+        d = self.d if v.ndim == 1 else self.d[:, None]
+        return self.inner.apply(v / d) / d
+
+    def logdet(self):
+        return self.inner.logdet() + 2.0 * jnp.sum(jnp.log(self.d))
+
+    def sample(self, key, num_probes: int):
+        d = self.d[:, None]
+        return d * self.inner.sample(key, num_probes)
+
+    def unit_sample(self, key, num_probes: int):
+        return self.inner.unit_sample(key, num_probes)
+
+    def tree_flatten(self):
+        return (self.d, self.inner), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node_class(ConjugatedPrecond)
+
+
 def make_deflation_precond(eigvec, q, tau, mask=None):
     """Deflation preconditioner from m known (orthonormal) eigenvectors of
     the operator with eigenvalues ``q`` and bulk scale ``tau`` (e.g. the

@@ -53,7 +53,11 @@ def build_layout(
 
 def assemble(layout: Layout, diag: jnp.ndarray, triu: jnp.ndarray, dtype=None):
     if isinstance(layout, DiaLayout):
-        return dia.assemble(layout, diag, triu, dtype=dtype)
+        # DIA is VPU shifted-FMA work — no MXU passes, so the x3 split has
+        # nothing to buy; keep exact f32 bands.
+        return dia.assemble(
+            layout, diag, triu, dtype=None if dtype == "float32x3" else dtype
+        )
     return block_sparse.assemble(layout, diag, triu, dtype=dtype)
 
 
@@ -75,19 +79,17 @@ def permute_out(layout: Layout, pv: jnp.ndarray) -> jnp.ndarray:
     return block_sparse.permute_out(layout, pv)
 
 
-def make_matvec_ad(layout: Layout, interpret: bool = False,
-                   f32_precision: str = "highest"):
-    """``f32_precision``: "highest" (6-pass f32-exact MXU emulation, the
-    parity default) or "high" (3-pass bf16x3 — half the MXU cost at ~2^-21
-    relative matmul error; see pallas_spmv._resolve_f32_precision). DIA is
-    VPU work and ignores it."""
+def make_matvec_ad(layout: Layout, interpret: bool = False):
+    """The returned matvec dispatches on the assembled buffer it is called
+    with: f32 panels (exact, 6-pass MXU), bf16 panels (single pass), or the
+    x3-split stacked-bf16 panels from ``assemble(dtype="float32x3")``
+    (3-pass bf16x3 — half the MXU cost of f32 at ~2^-15 relative error;
+    see ops.pallas_spmv). DIA bands are VPU work with one f32 path."""
     if isinstance(layout, DiaLayout):
         return dia.make_matvec_ad(layout, interpret=interpret)
     from .pallas_spmv import make_matvec_ad as block_make_matvec_ad
 
-    return block_make_matvec_ad(
-        layout, interpret=interpret, f32_precision=f32_precision
-    )
+    return block_make_matvec_ad(layout, interpret=interpret)
 
 
 def matvec(layout: Layout, buf: jnp.ndarray, v: jnp.ndarray):

@@ -92,3 +92,21 @@ def test_bf16_training_hyperparameter_drift(clustered):
     for k in ("noise", "outputscale", "graphbandwidth", "lengthscale"):
         np.testing.assert_allclose(bf16[k], f32[k], rtol=2e-2, err_msg=k)
     np.testing.assert_allclose(bf16["loss"], f32["loss"], rtol=1e-2, atol=5e-3)
+
+
+def test_x3_cg_solution_relative_error(clustered, rng):
+    """Q^{-1} b under float32x3 split panels (3-pass bf16x3 scheme) vs exact
+    f32: the x3 matmul error (~2^-15 per apply) should land the CG solution
+    1-2 orders tighter than plain bf16 panels."""
+    from manifold_gp_tpu.ops.cg import cg_solve
+
+    x, _ = clustered
+    k32, _ = _kernel(x, "float32")
+    kx3, _ = _kernel(x, "float32x3")
+    assert kx3.block_layout is not None, "must exercise the fused block path"
+    p = k32.init_params(graphbandwidth=0.3, lengthscale=1.0)
+    b = jnp.asarray(rng.standard_normal((x.shape[0], 4)).astype(np.float32))
+    sol32 = cg_solve(k32.precision_matvec(p), b, tol=1e-6, max_iter=4000)
+    solx3 = cg_solve(kx3.precision_matvec(p), b, tol=1e-6, max_iter=4000)
+    rel = float(jnp.linalg.norm(solx3 - sol32) / jnp.linalg.norm(sol32))
+    assert rel < 1e-3, rel

@@ -589,3 +589,98 @@ def test_mesh_deflation_beats_jacobi_ill_conditioned():
     # measured at this pinned config: jacobi 11.4%, deflation 0.2%
     assert err_d < 0.25 * err_j, (err_d, err_j)
     assert err_d < 0.03, err_d
+
+
+def test_conjugated_precond_identities(rng):
+    """ConjugatedPrecond M = D M_i D: apply/logdet/sample against the dense
+    oracle (round-4 VERDICT item 9: the degree-conjugated randomwalk wrap)."""
+    from manifold_gp_tpu.ops.pivchol import ConjugatedPrecond
+
+    n, m_modes = 50, 6
+    q = np.linspace(0.5, 20.0, m_modes).astype(np.float32)
+    v_full, _ = np.linalg.qr(rng.standard_normal((n, n)).astype(np.float32))
+    v = v_full[:, :m_modes]
+    tau = 2.5
+    d = (0.5 + rng.random(n)).astype(np.float32)
+    inner = make_deflation_precond(jnp.asarray(v), jnp.asarray(q), tau)
+    p = ConjugatedPrecond(d=jnp.asarray(d), inner=inner)
+    m_inner = v @ np.diag(q) @ v.T + tau * (np.eye(n) - v @ v.T)
+    m_mat = np.diag(d) @ m_inner @ np.diag(d)
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(p.apply(jnp.asarray(x))),
+        np.linalg.solve(m_mat, x),
+        rtol=3e-4, atol=3e-4,
+    )
+    np.testing.assert_allclose(
+        float(p.logdet()),
+        np.linalg.slogdet(m_mat.astype(np.float64))[1],
+        rtol=1e-5,
+    )
+    z = np.asarray(p.sample(jax.random.PRNGKey(1), 8000))
+    emp = z @ z.T / z.shape[1]
+    assert np.linalg.norm(emp - m_mat) / np.linalg.norm(m_mat) < 0.12
+    # stop_gradient tree_map (the slq entry) must preserve the wrap
+    p2 = jax.tree_util.tree_map(jax.lax.stop_gradient, p)
+    np.testing.assert_allclose(
+        np.asarray(p2.apply(jnp.asarray(x))),
+        np.asarray(p.apply(jnp.asarray(x))),
+    )
+
+
+def test_randomwalk_deflation_reduces_cg_iterations(rng):
+    """The round-4 coverage boundary, closed and measured: on a randomwalk
+    supervised config (the SRMNIST-style normalization deflation previously
+    asserted away), the degree-conjugated approximate deflation must cut
+    plain-CG iteration counts vs both no preconditioner and Jacobi."""
+    from manifold_gp_tpu.config import InferenceConfig
+    from manifold_gp_tpu.kernels import RiemannMaternKernel
+    from manifold_gp_tpu.models import RiemannGP
+    from manifold_gp_tpu.ops.cg import cg_raw
+
+    n, nu = 800, 3
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False).astype(np.float32)
+    x = np.stack([np.cos(t), np.sin(t)], 1) + 0.002 * rng.standard_normal(
+        (n, 2)
+    ).astype(np.float32)
+    y = np.sin(3 * t)
+    cfg = InferenceConfig(
+        max_cholesky=0, dense_operator_max_size=0,
+        cg_tolerance=1e-6, cg_max_iter=2000,
+        eigh_max_size=8192,
+    )
+    kernel = RiemannMaternKernel(
+        nu=nu, x=x, nearest_neighbors=6,
+        laplacian_normalization="randomwalk", num_modes=100, cfg=cfg,
+    )
+    model = RiemannGP(x, jnp.asarray(y), kernel, cfg=cfg)
+    params = model.init_params(
+        noise=1e-2, outputscale=1.0, graphbandwidth=0.5, lengthscale=10.0
+    )
+    mv = model.precision_matvec(params)
+    b = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+
+    def iters(precond):
+        _, it = cg_raw(
+            mv, b, tol=1e-6, max_iter=2000,
+            precond=None if precond is None else precond.apply,
+            with_info=True,
+        )
+        return int(it)
+
+    it_none = iters(None)
+    it_jac = iters(model.precision_precond_obj(params))
+    it_defl = iters(model.deflation_precond(params))
+    assert it_defl < it_none, (it_defl, it_none)
+    assert it_defl < it_jac, (it_defl, it_jac)
+    # solutions agree regardless of preconditioner (to the f32 forward-error
+    # bound: cond ~1e6 x 1e-8 residual ~ 1e-2 relative)
+    s0 = cg_raw(mv, b, tol=1e-8, max_iter=4000)
+    sd = cg_raw(
+        mv, b, tol=1e-8, max_iter=4000,
+        precond=model.deflation_precond(params).apply,
+    )
+    rel = float(
+        jnp.linalg.norm(sd - s0) / jnp.linalg.norm(s0)
+    )
+    assert rel < 3e-2, rel

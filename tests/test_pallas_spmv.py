@@ -262,3 +262,72 @@ def test_streaming_bwd_blocks_kernel_matches_einsum(small_block_problem, rng):
     np.testing.assert_allclose(
         np.asarray(gp), np.asarray(ge), atol=2e-5 * max(scale, 1.0)
     )
+
+
+def test_x3_split_panels_match_f32(small_block_problem, rng):
+    """float32x3 split panels (3-pass bf16x3): resident + streaming kernels
+    (interpret) and the einsum merge path all reproduce the exact-f32 matvec
+    to the bf16x3 error bound (~2^-15 relative, amplified ~sqrt(S*128) by
+    accumulation)."""
+    from manifold_gp_tpu.ops.pallas_spmv import (
+        block_matvec_pallas,
+        block_matvec_pallas_streaming,
+        merge_bf16x3,
+    )
+
+    graph, coeffs, layout = small_block_problem
+    blocks_f32 = block_sparse.assemble(layout, coeffs.diag, coeffs.triu)
+    blocks_x3 = block_sparse.assemble(
+        layout, coeffs.diag, coeffs.triu, dtype="float32x3"
+    )
+    assert blocks_x3.shape == (2,) + blocks_f32.shape
+    assert blocks_x3.dtype == jnp.bfloat16
+    # the split reconstructs the panels to ~2^-16
+    np.testing.assert_allclose(
+        np.asarray(merge_bf16x3(blocks_x3)), np.asarray(blocks_f32),
+        rtol=2e-5, atol=1e-6,
+    )
+    v = jnp.asarray(rng.standard_normal((600, 8)).astype(np.float32))
+    pv = block_sparse.permute_in(layout, v)
+    want = block_sparse.matvec_permuted(layout, blocks_f32, pv)
+    scale = float(jnp.max(jnp.abs(want))) + 1e-30
+    for got in (
+        block_sparse.matvec_permuted(layout, blocks_x3, pv),  # einsum merge
+        block_matvec_pallas(layout, blocks_x3, pv, interpret=True),
+        block_matvec_pallas_streaming(
+            layout, blocks_x3, jnp.pad(pv, ((0, 0), (0, 120))),
+            interpret=True,
+        )[:, :8],
+    ):
+        err = float(jnp.max(jnp.abs(got - want))) / scale
+        assert err < 5e-4, err
+
+
+def test_x3_ad_dispatch_and_vjp(small_block_problem, rng):
+    """make_matvec_ad over x3 panels: forward matches the merged-f32 einsum;
+    bar_pv rides the symmetric forward; bar_blocks comes back in the stacked
+    x3 format with both slots carrying the shared cotangent."""
+    import jax
+
+    from manifold_gp_tpu.ops import pallas_spmv
+
+    graph, coeffs, layout = small_block_problem
+    blocks_x3 = block_sparse.assemble(
+        layout, coeffs.diag, coeffs.triu, dtype="float32x3"
+    )
+    mv_ad = pallas_spmv.make_matvec_ad(layout, interpret=True)
+    pv = block_sparse.permute_in(
+        layout, jnp.asarray(rng.standard_normal((600, 8)).astype(np.float32))
+    )
+    out, vjp = jax.vjp(mv_ad, blocks_x3, pv)
+    want = block_sparse.matvec_permuted(layout, blocks_x3, pv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+    g = jnp.ones_like(out)
+    bar_blocks, bar_pv = vjp(g)
+    assert bar_blocks.shape == blocks_x3.shape
+    assert bar_blocks.dtype == jnp.bfloat16
+    # symmetric operator: bar_pv = M g
+    want_bar = block_sparse.matvec_permuted(layout, blocks_x3, g)
+    np.testing.assert_allclose(np.asarray(bar_pv), np.asarray(want_bar),
+                               rtol=5e-4, atol=5e-4)
