@@ -144,8 +144,20 @@ def run_experiment(
     x = x / unit
     eval_x = eval_x / unit
 
+    # max_cholesky=1000 puts the 1,001-labeled loss on the ITERATIVE
+    # CG+SLQ path like examples/run_rmnist.py's semisup config: the dense
+    # path Choleskys the densified Schur operator, which goes NaN the
+    # moment hyperparameter drift pushes sigma^2 ||Q|| past 1 and the
+    # truncated-Neumann noise operator turns indefinite (observed at
+    # ~epoch 150 of the first full TPU run). The gb floor (the reference's
+    # eps_min recipe) keeps the bandwidth in the stable basin.
+    from manifold_gp_tpu.parameters import GreaterThan as _GT
+
+    import math
+
+    gb_min = math.sqrt(float(ev[:, 0].max()) / (4.0 * math.log(1e4)))
     cfg = InferenceConfig(
-        max_cholesky=2000, cg_tolerance=1e-2, cg_max_iter=1000,
+        max_cholesky=1000, cg_tolerance=1e-2, cg_max_iter=1000,
         num_probes=64, lanczos_max_iter=64,
     )
     kernel = RiemannMaternKernel(
@@ -155,6 +167,7 @@ def run_experiment(
         laplacian_normalization="randomwalk",
         num_modes=num_modes,
         cfg=cfg,
+        graphbandwidth_constraint=_GT(gb_min / unit),
     )
     model = RiemannGP(
         x[labeled], jnp.asarray(train_y), kernel, labeled=labeled,

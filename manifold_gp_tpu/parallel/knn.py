@@ -45,11 +45,20 @@ def _block_topk(qb, q_rows, database, db_norm, col_base, n_db, k,
                 self_query: bool):
     """Exact top-k of one query tile against one database panel.
 
+    Two stages, like ``ops.knn.knn_search``: an approximate top-m on the
+    expanded-form MXU sweep, then an exact coordinate-differenced re-rank
+    of the m survivors against the (panel-local) database — the expanded
+    form's cancellation scrambles the ranking at million-point density
+    (ops.knn._rerank_exact). Re-ranking PER PANEL means the ring schedule's
+    cross-step merge always compares exact distances.
+
     ``q_rows``: global query row ids [B]; ``col_base``: global id of the
     panel's first database row; rows >= n_db are padding (+inf distance).
     When the panel holds fewer than k rows (ring schedule with small
     per-device shards) the result is padded to k with +inf/-1 — the
     cross-step merge discards them."""
+    from ..ops.knn import refine_slack
+
     qn = jnp.sum(qb * qb, axis=-1)
     d = (
         qn[:, None]
@@ -60,10 +69,20 @@ def _block_topk(qb, q_rows, database, db_norm, col_base, n_db, k,
     d = jnp.where(cols < n_db, d, jnp.inf)
     if self_query:
         d = jnp.where(cols == q_rows[:, None], -1.0, d)
+    mm = min(refine_slack(k, d.shape[1]), d.shape[1])
+    neg_topm, pos = jax.lax.top_k(-d, mm)
+    # exact re-rank against the local panel (pos indexes it directly)
+    pts = database[pos]  # [B, mm, D]
+    diff = qb[:, None, :] - pts
+    dd_m = jnp.sum(diff * diff, axis=-1)
+    dd_m = jnp.where(jnp.isfinite(-neg_topm), dd_m, jnp.inf)
+    cols_m = jnp.take_along_axis(cols, pos, axis=1)
+    if self_query:
+        dd_m = jnp.where(cols_m == q_rows[:, None], -1.0, dd_m)
     kk = min(k, d.shape[1])
-    neg_topk, pos = jax.lax.top_k(-d, kk)
+    neg_topk, pos_k = jax.lax.top_k(-dd_m, kk)
     dd = -neg_topk
-    ii = jnp.take_along_axis(cols, pos, axis=1)
+    ii = jnp.take_along_axis(cols_m, pos_k, axis=1)
     if kk < k:
         pad = k - kk
         dd = jnp.concatenate(
@@ -81,6 +100,10 @@ def _block_topk(qb, q_rows, database, db_norm, col_base, n_db, k,
 def _replicated_search(database, queries, k, mesh, self_query, block_size):
     ndev = mesh.devices.size
     n_db = database.shape[0]
+    # global centering — see ops.knn.knn_search (cancellation-error scale)
+    mu = jnp.mean(database, axis=0)
+    database = database - mu
+    queries = queries - mu
     db_norm = jnp.sum(database * database, axis=-1)
     qp, nq = _pad_to(queries, ndev * block_size)
     rows_per_dev = qp.shape[0] // ndev
@@ -120,6 +143,12 @@ def _replicated_search(database, queries, k, mesh, self_query, block_size):
 def _ring_search(database, queries, k, mesh, self_query, block_size):
     ndev = mesh.devices.size
     n_db = database.shape[0]
+    # global centering — see ops.knn.knn_search (cancellation-error scale).
+    # One mean over the whole database (computed before sharding; on a real
+    # pod this is a cheap psum'd reduction at build time).
+    mu = jnp.mean(database, axis=0)
+    database = database - mu
+    queries = queries - mu
     dbp, _ = _pad_to(database, ndev)
     db_rows_per_dev = dbp.shape[0] // ndev
     qp, nq = _pad_to(queries, ndev * block_size)
@@ -247,7 +276,11 @@ def _sharded_ivf_chunk(index, q, k, nprobe, mesh, self_query, block_size,
     ``ops.knn._ivf_search_jit`` under a shard_map. Candidate ordering is
     probes-major, identical to the single-device kernel, so results match it
     exactly (not just statistically)."""
-    db, cent = index.database, index.centroids
+    # global centering — mirrors ops.knn._ivf_search_jit exactly (the
+    # equality tests compare the two paths' results)
+    mu = jnp.mean(index.database, axis=0)
+    db, cent = index.database - mu, index.centroids - mu
+    q = q - mu
     cn = jnp.sum(cent * cent, axis=-1)
     ndev = mesh.devices.size
     qp, nq = _pad_to(q, ndev * block_size)
@@ -278,13 +311,20 @@ def _sharded_ivf_chunk(index, q, k, nprobe, mesh, self_query, block_size,
                 - 2.0 * jnp.einsum("bd,bcd->bc", blk, pts, precision=_HIGHEST)
             )
             d = jnp.where(cmask > 0, d, jnp.inf)
+            rows = r0 + jnp.arange(block_size, dtype=jnp.int32)
             if self_query:
-                rows = r0 + jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-                d = jnp.where((cand == rows) & (cmask > 0), -1.0, d)
-            neg_topk, pos = jax.lax.top_k(-d, k)
-            return (
-                jnp.maximum(-neg_topk, 0.0),
-                jnp.take_along_axis(cand, pos, axis=1),
+                d = jnp.where(
+                    (cand == rows[:, None]) & (cmask > 0), -1.0, d
+                )
+            # two-stage exact re-rank, mirroring ops.knn._ivf_search_jit
+            from ..ops.knn import _rerank_exact, refine_slack
+
+            m = min(refine_slack(k, d.shape[1]), d.shape[1])
+            neg_topm, pos = jax.lax.top_k(-d, m)
+            cand_m = jnp.take_along_axis(cand, pos, axis=1)
+            return _rerank_exact(
+                blk, -neg_topm, cand_m, db, k,
+                self_query=self_query, q_rows=rows,
             )
 
         dd, ii = jax.lax.map(one_block, (qb, row0))

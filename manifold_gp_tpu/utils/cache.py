@@ -47,8 +47,10 @@ def _atomic_save(path: str, **arrays):
 
 # Bumped whenever the builder's edge-value semantics change (v2: exact
 # coordinate-differenced edge lengths replaced the search's cancellation-
-# prone |q|^2 - 2qx + |x|^2 values).
-_GRAPH_BUILDER_VERSION = 2
+# prone |q|^2 - 2qx + |x|^2 values; v3: the neighbor RANKING itself is now
+# exact too — global centering + two-stage coordinate-differenced re-rank,
+# fixing the 0.33 recall measured at the 1M operating point).
+_GRAPH_BUILDER_VERSION = 3
 
 
 def graph_cache_key(x, nearest_neighbors: int, backend: str = "device") -> str:

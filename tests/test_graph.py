@@ -136,3 +136,55 @@ class TestIVF:
             for r in range(100)
         ])
         assert overlap > 0.9, overlap
+
+
+def test_knn_ranking_survives_catastrophic_density(rng):
+    """Round-5 regression (VERDICT item 6 root cause): at million-point
+    manifold density the expanded-form |q|^2-2qx+|x|^2 distances quantize
+    to noise (true spacing^2 ~ 1e-11 vs norms ~ 1, f32 eps 1e-7) and the
+    single-stage top-k returned essentially random local candidates
+    (measured recall 0.33 at the 1M operating point). The two-stage exact
+    re-rank must reproduce the f64 oracle neighbor sets in exactly that
+    regime, reproduced here at small N by shrinking the curve spacing."""
+    import jax.numpy as jnp
+
+    from manifold_gp_tpu.ops.knn import ivf_build, ivf_search, knn_search
+
+    n, k = 2048, 8
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    # curve of radius ~1 sampled so adjacent spacing ~ 3e-6 of arc: scale
+    # the parameter span down while keeping coordinates O(1)
+    tt = t * 1e-3
+    x = np.stack(
+        [np.cos(tt) + 1.0, np.sin(tt) + 1.0, 0.3 * np.sin(2 * tt)], 1
+    ).astype(np.float32)
+    # f64 oracle
+    d64 = ((x[:, None, :].astype(np.float64) - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d64, -1.0)
+    oracle = np.argsort(d64, axis=1)[:, : k + 1]
+    got_d, got_i = knn_search(x, x, k + 1, self_query=True)
+    got_i = np.asarray(got_i)
+    # neighbor SETS must match the oracle almost everywhere (boundary ties
+    # at the (k+1)-th distance may legitimately swap)
+    agree = np.mean([
+        len(set(oracle[i].tolist()) & set(got_i[i].tolist())) / (k + 1)
+        for i in range(n)
+    ])
+    assert agree > 0.995, agree
+    # distances are the exact coordinate-differenced values, not the
+    # cancelled ones (adjacent spacing^2 ~ (1e-3 * 2pi/2048)^2 ~ 9e-12)
+    adj = np.asarray(got_d)[:, 1]
+    assert np.all(adj > 0), "cancellation quantized distances to zero"
+    np.testing.assert_allclose(
+        adj, np.sort(d64 + np.eye(n))[:, 1][: n], rtol=2e-2, atol=1e-14
+    )
+    # IVF path: same regime, full probing
+    index = ivf_build(jnp.asarray(x), nlist=16)
+    _, iv_i = ivf_search(index, jnp.asarray(x), k + 1, nprobe=16,
+                         self_query=True)
+    iv_i = np.asarray(iv_i)
+    agree_iv = np.mean([
+        len(set(oracle[i].tolist()) & set(iv_i[i].tolist())) / (k + 1)
+        for i in range(n)
+    ])
+    assert agree_iv > 0.995, agree_iv

@@ -36,14 +36,15 @@ def main():
     ).astype(np.float32)
     y = np.sin(x[:, 0]).astype(np.float32)
 
-    def measure(labeled, precond_type, use_deflation=False, tol=1e-6):
+    def measure(labeled, precond_type, use_deflation=False, tol=1e-6,
+                nu=2, ls=1.0, gb=0.6):
         cfg = InferenceConfig(
             max_cholesky=0, dense_operator_max_size=0,
             cg_tolerance=tol, cg_max_iter=3000,
             precond_type=precond_type,
         )
         kernel = RiemannMaternKernel(
-            nu=2, x=x, nearest_neighbors=50,
+            nu=nu, x=x, nearest_neighbors=50,
             laplacian_normalization="randomwalk", num_modes=100, cfg=cfg,
         )
         yy = y[labeled] if labeled is not None else y
@@ -53,7 +54,7 @@ def main():
             noise_constraint=GreaterThan(1e-8), cfg=cfg,
         )
         params = model.init_params(
-            noise=1e-2, outputscale=1.0, graphbandwidth=0.6, lengthscale=1.0
+            noise=1e-2, outputscale=1.0, graphbandwidth=gb, lengthscale=ls
         )
         mv = model.precision_matvec(params)
         nb = int(np.sum(labeled)) if labeled is not None else n
@@ -77,18 +78,26 @@ def main():
     labeled[rng.choice(n, 1001, replace=False)] = True
 
     rows = []
-    for name, lab, ptype, defl in (
-        ("supervised_none", None, "none", False),
-        ("supervised_jacobi", None, "jacobi", False),
-        ("supervised_pivchol", None, "pivchol", False),
-        ("supervised_deflation_rw", None, "none", True),
-        ("semisup_none", labeled, "none", False),
-        ("semisup_jacobi", labeled, "jacobi", False),
-        ("semisup_pivchol", labeled, "pivchol", False),
-    ):
-        it = measure(lab, ptype, use_deflation=defl)
-        rows.append({"config": name, "cg_iters_to_1e-6": it})
-        print(json.dumps(rows[-1]), flush=True)
+    # Two regimes: the SRMNIST-shape trained point (mild conditioning — the
+    # boundary row showing there is little to precondition there), and the
+    # small-bandwidth / long-lengthscale regime where the family is
+    # load-bearing (same shape bench_precond measures).
+    for regime, kw in (("srmnist_shape", {}),
+                       ("ill_conditioned", dict(nu=3, ls=10.0, gb=0.35))):
+        for name, lab, ptype, defl in (
+            ("supervised_none", None, "none", False),
+            ("supervised_jacobi", None, "jacobi", False),
+            ("supervised_pivchol", None, "pivchol", False),
+            ("supervised_deflation_rw", None, "none", True),
+            ("semisup_none", labeled, "none", False),
+            ("semisup_jacobi", labeled, "jacobi", False),
+            ("semisup_pivchol", labeled, "pivchol", False),
+        ):
+            it = measure(lab, ptype, use_deflation=defl, **kw)
+            rows.append(
+                {"regime": regime, "config": name, "cg_iters_to_1e-6": it}
+            )
+            print(json.dumps(rows[-1]), flush=True)
 
 
 if __name__ == "__main__":
