@@ -140,6 +140,11 @@ def run_campaign(
         cg_tolerance=1e-2,
         cg_max_iter=200,
         precond_type="pivchol",
+        # The campaign's low spectral band is a near-degenerate cluster
+        # ~1e-5 of lambda_max (dense curve sampling): LOBPCG-200 captured
+        # 28% of the target's energy; the Chebyshev-filtered solver
+        # captures >0.999999 of the span (tools/r5 diagnosis, round 5).
+        eigensolver="chebyshev",
     )
     # The reference's data-driven bandwidth floor (identical cell in every
     # notebook, e.g. 1D supervised nb "74cd3ae2"; see examples/run_1d.py):

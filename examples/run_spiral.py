@@ -189,6 +189,10 @@ def run_experiment(
         verbose=verbose,
         seed=seed,
         debug=debug,
+        # nested-Krylov semisup epochs at 10k are seconds each; 50-epoch
+        # scan chunks become multi-minute dispatches that tunneled TPU
+        # workers kill (observed) — 10 keeps each dispatch well under that
+        chunk_size=10,
     )
     print(f"[manifold] final loss {loss:.4f} ({time.time()-t0:.1f}s)",
           file=sys.stderr)

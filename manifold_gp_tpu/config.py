@@ -46,6 +46,19 @@ class InferenceConfig:
     eigh_max_size: int = 8192
     # LOBPCG iteration cap for the large-N spectral-basis solver.
     eigensolver_max_iter: int = 200
+    # Large-N basis solver: "lobpcg" (default; fine when the wanted modes
+    # are separated relative to lambda_max) or "chebyshev"
+    # (ops.eigen.chebyshev_filtered_smallest — filtered subspace iteration;
+    # REQUIRED when the wanted band is a near-degenerate cluster far below
+    # lambda_max, e.g. the lowest 50 modes of a 262k-node curve graph at
+    # ~1e-5 lambda_max, where LOBPCG's per-iteration contraction
+    # 1 - O(lambda/lambda_max) would need ~1e5 iterations; measured span
+    # capture 0.28 for LOBPCG-200 vs >0.999999 for chebyshev).
+    eigensolver: str = "lobpcg"
+    # Chebyshev filter polynomial degree per application and number of
+    # filtered iterations (total matvecs ~ degree * iters).
+    cheb_degree: int = 256
+    cheb_iters: int = 6
     dense_operator_max_size: int = 4096
     # Above dense_operator_max_size, try a fused RCM-reordered SpMV layout
     # (ops.sparse_formats); falls back to the ELL gather scan when the

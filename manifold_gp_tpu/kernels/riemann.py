@@ -36,7 +36,7 @@ from ..parameters import ConstrainedParam, GreaterThan, Positive
 from ..ops.bump import bump_function
 from ..ops.graph import build_graph
 from ..ops.knn import NearestNeighbors
-from ..ops.eigen import lobpcg_smallest
+from ..ops.eigen import chebyshev_filtered_smallest, lobpcg_smallest
 from ..ops.laplacian import (
     gershgorin_bound,
     laplacian_coeffs,
@@ -48,6 +48,28 @@ from ..ops.matern import make_matern_precision_matvec
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+
+
+
+def _matrix_free_smallest(cfg, matvec, n_rows, m, bound, mask=None):
+    """cfg-dispatched large-N basis solver (LOBPCG vs Chebyshev-filtered
+    subspace iteration — see config.eigensolver). The Chebyshev path
+    oversamples the block by ~25% and slices back: filtered iteration
+    resolves the SPAN of a cluster best with a margin of extra vectors."""
+    if cfg.eigensolver == "chebyshev":
+        mb = m + max(8, m // 4)
+        mb = min(mb, n_rows)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (n_rows, mb), jnp.float32)
+        if mask is not None:
+            x0 = x0 * mask
+        return chebyshev_filtered_smallest(
+            matvec, x0, bound, num_modes=m,
+            degree=cfg.cheb_degree, num_iters=cfg.cheb_iters,
+        )
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (n_rows, m), jnp.float32)
+    if mask is not None:
+        x0 = x0 * mask
+    return lobpcg_smallest(matvec, x0, bound, max_iter=cfg.eigensolver_max_iter)
 
 
 def _panel_dtype_of(cfg):
@@ -403,10 +425,8 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
 
             unpermute_rows = None
 
-        x0 = jax.random.normal(jax.random.PRNGKey(0), (npad, m), jnp.float32)
-        x0 = x0 * mask
-        eigval, eigvec = lobpcg_smallest(
-            lap_mv_pad, x0, bound, max_iter=kernel.cfg.eigensolver_max_iter
+        eigval, eigvec = _matrix_free_smallest(
+            kernel.cfg, lap_mv_pad, npad, m, bound, mask=mask
         )
         # back to node order: gather the true rows (identity prefix on the
         # scan path; RCM positions on the fused path)
@@ -424,7 +444,6 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
         # harmonics, graph components) that single-vector Lanczos (the
         # reference's linear_operator diagonalization route,
         # graph_laplacian_operator.py:132-144) cannot resolve.
-        x0 = jax.random.normal(jax.random.PRNGKey(0), (n, m), jnp.float32)
         # Always f32 blocks here: resolving eigenvalues clustered near zero
         # (relative to lambda_max) needs more matvec precision than bf16
         # offers, and the basis solve runs once per eval, not per CG step.
@@ -434,7 +453,8 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
             block = (kernel.block_layout, assemble(kernel.block_layout, c.diag, c.triu))
         else:
             block = None
-        eigval, eigvec = lobpcg_smallest(
+        eigval, eigvec = _matrix_free_smallest(
+            kernel.cfg,
             lambda v: laplacian_matvec(
                 kernel.graph,
                 c,
@@ -443,9 +463,9 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
                 block=block,
                 pallas=kernel.use_pallas and block is not None,
             ),
-            x0,
+            n,
+            m,
             gershgorin_bound(kernel.graph, c),
-            max_iter=kernel.cfg.eigensolver_max_iter,
         )
     eigval = eigval.at[0].set(0.0)
     # Unconditional D^{-1/2} recovery + column L2 normalization, matching

@@ -166,3 +166,115 @@ def lobpcg_smallest(
     vals = c - theta
     order = jnp.argsort(vals)
     return vals[order], u[:, order]
+
+
+def _whiten(x):
+    """Gram-eigh orthonormalization (twice for fp32 stability): the Gram
+    reduction is one [m, m] psum-able einsum, so the same code runs on
+    row-sharded blocks (tall-skinny Householder QR does not shard). eigh
+    whitening, unlike Cholesky-QR, survives the numerically rank-deficient
+    Grams a strong Chebyshev filter produces (all columns collapse toward
+    the dominant band): near-null directions are clamped, not fatal."""
+    for _ in range(2):
+        g = jnp.einsum("ni,nj->ij", x, x, precision=_HIGHEST)
+        lam, q = jnp.linalg.eigh((g + g.T) / 2.0)
+        lam = jnp.maximum(lam, 1e-12 * jnp.max(lam))
+        x = jnp.matmul(
+            x, q / jnp.sqrt(lam)[None, :], precision=_HIGHEST
+        )
+    return x
+
+
+def chebyshev_filtered_smallest(
+    matvec: Callable,
+    x0: jnp.ndarray,
+    upper_bound,
+    num_modes: Optional[int] = None,
+    degree: int = 256,
+    num_iters: int = 6,
+    cut_init_frac: float = 1e-2,
+):
+    """Smallest-m eigenpairs by Chebyshev-filtered subspace iteration
+    (ChebFSI / ChASE-style) — the large-N solver for NEAR-DEGENERATE low
+    clusters where (LO)BPCG stalls.
+
+    Why it exists (round 5): on a 262k-node curve graph the lowest 50
+    Laplacian eigenvalues span [5e-5, 1.1e-4] against lambda_max ~ 4 —
+    unpreconditioned LOBPCG converges that band at ~(1 - lambda/lambda_max)
+    per iteration, i.e. ~1e5 iterations; 200 iterations returned an
+    arbitrary low-frequency subspace capturing 28% of a smooth target
+    (tools/r5 diagnosis). A degree-d Chebyshev polynomial on
+    [cut, lambda_max] amplifies the wanted band below ``cut`` by
+    ~cosh(d * acosh(1 + 2 cut/lambda_max)) per filter application while
+    bounding the rest by 1, so a handful of filtered iterations
+    (d * num_iters matvecs total — here ~1.5k, each one fused-SpMV sweep)
+    recover the SPAN of the cluster that matters for prediction.
+
+    The filter window's lower edge adapts: it starts at
+    ``cut_init_frac * upper_bound`` and after each Rayleigh-Ritz tightens
+    toward the current largest wanted Ritz value (never expanding), the
+    standard ChebFSI schedule. All shapes static; the matvec may be the
+    row-sharded SpMV (the Gram/Rayleigh reductions lower to ICI psums).
+
+    Args:
+      x0: [N, mb] start block; oversample mb ~ 1.25x the wanted modes.
+      upper_bound: any bound on lambda_max (``gershgorin_bound``).
+      num_modes: wanted modes (default: the full block).
+    Returns: (eigval [num_modes] ascending, eigvec [N, num_modes]).
+    """
+    m_block = x0.shape[1]
+    m = m_block if num_modes is None else int(num_modes)
+    lam_max = jnp.reshape(jnp.asarray(upper_bound, jnp.float32), ())
+
+    # Filter in chunks with a whitening pass between them: one degree-256
+    # application collapses every column onto the lowest band (rank-one
+    # Gram, fp32-fatal); chunked degree-`chunk` filters with re-whitening
+    # apply the same total polynomial power to the SPAN while keeping the
+    # block numerically full-rank throughout.
+    chunk = 64
+    n_chunks = max(1, degree // chunk)
+
+    def filter_block(x, cut):
+        e = (lam_max - cut) / 2.0
+        c = (lam_max + cut) / 2.0
+
+        def one_chunk(_, x):
+            y_prev = x
+            y = (matvec(x) - c * x) / e
+
+            def body(_, carry):
+                y_prev, y = carry
+                y_next = (2.0 / e) * (matvec(y) - c * y) - y_prev
+                # consistent pair rescale: T_d grows ~cosh(d acosh) outside
+                # the window; scaling BOTH terms preserves the recurrence
+                s = jnp.max(jnp.abs(y_next))
+                s = jnp.maximum(s, 1e-30)
+                return y / s, y_next / s
+
+            _, y = jax.lax.fori_loop(1, chunk, body, (y_prev, y))
+            return _whiten(y)
+
+        return jax.lax.fori_loop(0, n_chunks, one_chunk, x)
+
+    def rayleigh_ritz(x):
+        x = _whiten(x)
+        ax = matvec(x)
+        h = jnp.einsum("ni,nj->ij", x, ax, precision=_HIGHEST)
+        h = (h + h.T) / 2.0
+        vals, w = jnp.linalg.eigh(h)
+        return vals, jnp.matmul(x, w, precision=_HIGHEST)
+
+    cut = cut_init_frac * lam_max
+
+    def outer(_, carry):
+        x, cut = carry
+        x = filter_block(x, cut)
+        vals, x = rayleigh_ritz(x)
+        # tighten the window toward the wanted band (never expand; keep a
+        # margin so the filter does not sit exactly on the m-th Ritz value)
+        cut_new = jnp.clip(1.5 * vals[m - 1], 1e-12 * lam_max, cut)
+        return x, cut_new
+
+    x, cut = jax.lax.fori_loop(0, num_iters, outer, (x0, cut))
+    vals, x = rayleigh_ritz(x)
+    return vals[:m], x[:, :m]

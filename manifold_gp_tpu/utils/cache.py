@@ -115,7 +115,9 @@ def basis_cache_key(kernel, graphbandwidth) -> str:
     h.update(
         f"|m={kernel.num_modes}|norm={kernel.laplacian_normalization}"
         f"|eigh_max={kernel.cfg.eigh_max_size}"
-        f"|eig_iter={kernel.cfg.eigensolver_max_iter}".encode()
+        f"|eig_iter={kernel.cfg.eigensolver_max_iter}"
+        f"|solver={kernel.cfg.eigensolver}"
+        f"|cheb={kernel.cfg.cheb_degree}x{kernel.cfg.cheb_iters}".encode()
     )
     h.update(gb.tobytes())
     return h.hexdigest()[:32]

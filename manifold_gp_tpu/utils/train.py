@@ -295,8 +295,15 @@ def manifold_informed_train(
     resume: bool = True,
     debug: bool = False,
     precond_refresh: Optional[int] = None,
+    chunk_size: int = 50,
 ):
     """IMGP hyperparameter training (reference train_model.py:49-109).
+
+    ``chunk_size``: epochs per lax.scan dispatch. Lower it for heavy
+    per-epoch configs (e.g. nested-Krylov semisupervised losses at 10k+
+    nodes): a single multi-minute XLA dispatch is liable to be killed by
+    remote/tunneled TPU runtimes, and smaller chunks also bound
+    time-to-first-verbose-line.
 
     ``checkpoint_path`` + ``checkpoint_every`` enable resumable training
     (full optimizer/scheduler/PRNG state every k epochs; restart picks up
@@ -368,6 +375,7 @@ def manifold_informed_train(
         debug=debug,
         aux_fn=aux_fn,
         aux_period=precond_refresh,
+        chunk_size=chunk_size,
     )
 
     if model.use_outputscale:
@@ -392,6 +400,7 @@ def vanilla_train(
     checkpoint_every=None,
     resume: bool = True,
     debug: bool = False,
+    chunk_size: int = 50,
 ):
     """Standard exact-MLL training (reference train_model.py:10-46)."""
     params, loss_val, history = _train_loop(
@@ -410,5 +419,6 @@ def vanilla_train(
         checkpoint_every=checkpoint_every,
         resume=resume,
         debug=debug,
+        chunk_size=chunk_size,
     )
     return params, loss_val, history

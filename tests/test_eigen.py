@@ -69,3 +69,94 @@ def test_lanczos_breakdown_rank_deficient():
     val = np.asarray(val)
     np.testing.assert_allclose(val[0], 1.0, rtol=1e-4)
     assert np.all(val >= 0.5), val
+
+
+def test_chebyshev_filtered_resolves_degenerate_cluster(rng):
+    """Round-5 solver (ops.eigen.chebyshev_filtered_smallest): on a densely
+    sampled curve the lowest modes cluster ~1e-5 of lambda_max, where
+    LOBPCG's contraction 1 - O(lambda/lambda_max) stalls (the 262k campaign
+    failure). The filtered solver must recover the low SPAN (>0.999 capture
+    per true mode) and the eigenvalues to ~1e-3 relative."""
+    import dataclasses
+
+    from manifold_gp_tpu.ops.eigen import chebyshev_filtered_smallest
+    from manifold_gp_tpu.ops.graph import build_graph
+    from manifold_gp_tpu.ops.laplacian import (
+        gershgorin_bound,
+        laplacian_coeffs,
+        laplacian_matvec,
+    )
+
+    n, m = 2000, 20
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    x = np.stack([np.cos(t), np.sin(t), 0.3 * np.sin(2 * t)], 1).astype(
+        np.float32
+    )
+    x += 1e-6 * rng.standard_normal(x.shape).astype(np.float32)
+    g = build_graph(x, 8)
+    eps = 2.0 * float(np.sqrt(np.median(np.asarray(g.sqdist))))
+    g = dataclasses.replace(g, sqdist=g.sqdist / np.float32(eps) ** 2)
+    c = laplacian_coeffs(g, 1.0)
+    mv = lambda v: laplacian_matvec(g, c, v, "symmetric")  # noqa: E731
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (n, m + 8), jnp.float32)
+    vals, vecs = chebyshev_filtered_smallest(
+        mv, x0, gershgorin_bound(g, c), num_modes=m, degree=128, num_iters=4
+    )
+    # f64 dense oracle
+    rows, cols = np.asarray(g.rows), np.asarray(g.cols)
+    a = np.zeros((n, n))
+    a[rows, cols] = np.asarray(c.triu, np.float64)
+    a[cols, rows] += np.asarray(c.triu, np.float64)
+    lap = np.diag(np.asarray(c.diag, np.float64)) - a
+    w, v_true = np.linalg.eigh(lap)
+    assert w[m] / w[-1] < 1e-2, "fixture must be far below lambda_max"
+    np.testing.assert_allclose(
+        np.asarray(vals)[1:], w[1:m], rtol=5e-3, atol=1e-7
+    )
+    q, _ = np.linalg.qr(np.asarray(vecs))
+    capture = np.linalg.norm(q.T @ v_true[:, :m], axis=0) ** 2
+    assert capture.min() > 0.999, capture.min()
+
+
+def test_chebyshev_through_kernel_config(rng):
+    """cfg.eigensolver='chebyshev' drives eval_basis end to end and agrees
+    with the dense-eigh basis on prediction-relevant quantities (compare on
+    the SPAN: the low cluster's internal basis is arbitrary)."""
+    import dataclasses
+
+    from manifold_gp_tpu.config import InferenceConfig
+    from manifold_gp_tpu.kernels import RiemannMaternKernel
+
+    n = 1200
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    x = np.stack([np.cos(t), np.sin(t), 0.3 * np.sin(2 * t)], 1).astype(
+        np.float32
+    )
+    x += 1e-6 * rng.standard_normal(x.shape).astype(np.float32)
+    # unit-bandwidth rescale like the campaign
+    from manifold_gp_tpu.ops.knn import knn_search
+
+    d, _ = knn_search(x, x, 8, self_query=True)
+    unit = 2.0 * float(np.sqrt(np.median(np.asarray(d)[:, 1:])))
+    x = x / unit
+
+    base = dict(nu=2, x=x, nearest_neighbors=8,
+                laplacian_normalization="randomwalk", num_modes=16)
+    k_eigh = RiemannMaternKernel(
+        cfg=InferenceConfig(eigh_max_size=4096), **base
+    )
+    k_cheb = RiemannMaternKernel(
+        cfg=InferenceConfig(eigh_max_size=0, eigensolver="chebyshev",
+                            cheb_degree=128, cheb_iters=4),
+        **base,
+    )
+    p = k_eigh.init_params(graphbandwidth=1.0, lengthscale=1.0)
+    val_e, vec_e = k_eigh.eval_basis(p)
+    val_c, vec_c = k_cheb.eval_basis(p)
+    np.testing.assert_allclose(
+        np.asarray(val_c)[1:], np.asarray(val_e)[1:], rtol=2e-2, atol=1e-7
+    )
+    qe, _ = np.linalg.qr(np.asarray(vec_e))
+    qc, _ = np.linalg.qr(np.asarray(vec_c))
+    capture = np.linalg.norm(qc.T @ qe, axis=0) ** 2
+    assert capture.min() > 0.99, capture.min()
