@@ -178,20 +178,32 @@ def assemble(layout: BlockLayout, diag: jnp.ndarray, triu: jnp.ndarray,
     # faster TPU scatter than two overlapping scatter-adds.
     vals = jnp.concatenate([-triu, -triu, diag])  # both edge directions of -A_sym
     idx = jnp.concatenate([layout.edge_flat, layout.diag_flat])
-    flat = jnp.zeros(layout.num_padded * layout.max_blocks * BLOCK, diag.dtype)
-    flat = flat.at[idx].set(
-        vals, unique_indices=True, mode="promise_in_bounds"
-    )
-    out = flat.reshape(
-        layout.num_row_blocks, BLOCK, layout.max_blocks * BLOCK
-    )
-    if dtype is None:
-        return out
     if dtype == "float32x3":
+        flat = jnp.zeros(
+            layout.num_padded * layout.max_blocks * BLOCK, diag.dtype
+        )
+        flat = flat.at[idx].set(
+            vals, unique_indices=True, mode="promise_in_bounds"
+        )
+        out = flat.reshape(
+            layout.num_row_blocks, BLOCK, layout.max_blocks * BLOCK
+        )
         hi = out.astype(jnp.bfloat16)
         lo = (out - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return jnp.stack([hi, lo], axis=0)
-    return out.astype(dtype)
+    # Scatter in the TARGET dtype: casting the [M]/[N] coefficient vectors
+    # loses exactly the same bits as casting the assembled panels, while the
+    # GB-scale scatter buffer (and, critically, its VJP cotangent — 2.7 GB
+    # f32 at a 2-D 262k graph's S=22) stays in the panel dtype.
+    buf_dtype = diag.dtype if dtype is None else dtype
+    vals = vals.astype(buf_dtype)
+    flat = jnp.zeros(layout.num_padded * layout.max_blocks * BLOCK, buf_dtype)
+    flat = flat.at[idx].set(
+        vals, unique_indices=True, mode="promise_in_bounds"
+    )
+    return flat.reshape(
+        layout.num_row_blocks, BLOCK, layout.max_blocks * BLOCK
+    )
 
 
 def matvec(layout: BlockLayout, blocks: jnp.ndarray, v: jnp.ndarray):

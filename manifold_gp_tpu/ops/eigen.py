@@ -270,9 +270,23 @@ def chebyshev_filtered_smallest(
         x, cut = carry
         x = filter_block(x, cut)
         vals, x = rayleigh_ritz(x)
-        # tighten the window toward the wanted band (never expand; keep a
-        # margin so the filter does not sit exactly on the m-th Ritz value)
-        cut_new = jnp.clip(1.5 * vals[m - 1], 1e-12 * lam_max, cut)
+        # Bidirectional window schedule. The filter amplifies ONLY the
+        # modes below ``cut`` (everything inside [cut, lam_max] is
+        # suppressed to noise), so the captured Ritz values sit below cut
+        # and the uncaptured block directions come back as bulk-scale junk.
+        # If the whole block is captured (every Ritz value below the
+        # window), tighten toward the block's top value for maximum
+        # amplification differential; otherwise WIDEN (x2) — a one-way
+        # shrinking schedule permanently loses every wanted mode that
+        # happens to start above the initial window (measured: a cut at
+        # 1e-2 lam_max held 45 of 62 block modes and the tail stayed 40x
+        # wrong at any filter budget).
+        captured = jnp.sum(vals < 0.9 * cut)
+        cut_new = jnp.where(
+            captured >= m_block,
+            jnp.clip(1.2 * vals[-1], 1e-12 * lam_max, cut),
+            jnp.minimum(2.0 * cut, 0.9 * lam_max),
+        )
         return x, cut_new
 
     x, cut = jax.lax.fori_loop(0, num_iters, outer, (x0, cut))

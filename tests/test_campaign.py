@@ -22,9 +22,15 @@ from run_large import run_campaign  # noqa: E402
 def campaign_results(tmp_path_factory):
     cache_dir = str(tmp_path_factory.mktemp("campaign_cache"))
     kw = dict(
+        # curve manifold: at n=1024 the 1-D spectrum is well-posed (the
+        # curve's f32 degeneracy is a LARGE-n phenomenon) and 16 exact-eigh
+        # modes represent the target; the torus default needs ~10x the
+        # modes at this coarse sampling (discrete modes mix) — the torus
+        # path is pinned at real scale by the PARITY campaign rows and by
+        # tests/test_eigen.py's solver checks
         n=1024, k=8, epochs=2, num_test=64, num_modes=16,
         cache_dir=cache_dir, checkpoint_every=1, precond_refresh=1,
-        seed=0, verbose=False,
+        seed=0, verbose=False, manifold="curve",
     )
     first, params, model = run_campaign(**kw)
     second, _, _ = run_campaign(**kw)
