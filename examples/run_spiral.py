@@ -25,8 +25,15 @@ posterior interpolates along the spiral while the vanilla GP aliases
 neighboring windings — the designed >=10k-scale regression row for the
 manifold advantage. Pins: examples/spiral_pins.json via --check-pins.
 
+The pinned configuration trains 30 epochs: the advantage is fully
+expressed there (IMGP 0.0364 vs vanilla 0.2005 — 5.5x), while longer
+unconstrained runs walk the bandwidth out of the stable basin around epoch
+~60-80 (loss diverges; the same basin sensitivity PARITY documents for the
+reference's own 1D objective). Run with --cpu when the tunneled TPU worker
+is flaky (nested-Krylov semisup dispatches are its worst case).
+
 Usage:
-  python examples/run_spiral.py                 # full run (TPU, ~2 min)
+  python examples/run_spiral.py --cpu           # pinned run (~7 min CPU)
   python examples/run_spiral.py --check-pins    # regression adjudication
   python examples/run_spiral.py --n 2000 --max-iter 50 --cpu   # smoke
 """
@@ -80,7 +87,7 @@ def run_experiment(
     freq: float = 9.0,
     k: int = 10,
     num_modes: int = 100,
-    max_iter: int = 300,
+    max_iter: int = 30,
     seed: int = 1337,
     verbose: bool = False,
     num_eval: int = 2000,
@@ -189,10 +196,12 @@ def run_experiment(
         verbose=verbose,
         seed=seed,
         debug=debug,
-        # nested-Krylov semisup epochs at 10k are seconds each; 50-epoch
-        # scan chunks become multi-minute dispatches that tunneled TPU
-        # workers kill (observed) — 10 keeps each dispatch well under that
-        chunk_size=10,
+        # nested-Krylov semisup epochs at 10k are seconds each; long scan
+        # chunks become multi-minute dispatches that tunneled TPU workers
+        # kill (observed at both 50 and 10 epochs/chunk on the iterative
+        # loss path) — 2 keeps each dispatch tens of seconds at a ~2%
+        # host-sync overhead
+        chunk_size=2,
     )
     print(f"[manifold] final loss {loss:.4f} ({time.time()-t0:.1f}s)",
           file=sys.stderr)
@@ -232,7 +241,7 @@ def main():
     ap.add_argument("--freq", type=float, default=9.0)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--num-modes", type=int, default=100)
-    ap.add_argument("--max-iter", type=int, default=300)
+    ap.add_argument("--max-iter", type=int, default=30)
     ap.add_argument("--num-eval", type=int, default=2000)
     ap.add_argument("--debug", action="store_true",
                     help="fail fast with the epoch index on a non-finite loss")

@@ -13,10 +13,11 @@ from .spmv import (
     sharded_adjacency_matvec,
     shard_graph_rows,
 )
-from .knn import build_graph_sharded, sharded_knn_search
+from .knn import build_graph_sharded, sharded_ivf_search, sharded_knn_search
 
 __all__ = [
     "build_graph_sharded",
+    "sharded_ivf_search",
     "sharded_knn_search",
     "make_sharded_matern_precision_matvec",
     "pad_nodes",
