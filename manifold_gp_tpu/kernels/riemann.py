@@ -292,6 +292,8 @@ class RiemannKernel:
     def eval_basis(self, params):
         """(eigval [m], eigvec [N, m]) of the graph Laplacian, with the
         reference's truncation and randomwalk-recovery post-processing."""
+        if self.cfg.eigensolver == "host_f64" and self.mesh is None:
+            return _eval_basis_host_f64(self, params)
         return _eval_basis_jit(self, params)
 
     # -- spectral features -------------------------------------------------
@@ -473,6 +475,29 @@ def _eval_basis_jit(kernel: RiemannKernel, params):
     eigvec = eigvec * jax.lax.rsqrt(c.deg)[:, None]
     eigvec = eigvec / jnp.linalg.norm(eigvec, axis=0, keepdims=True)
     return eigval, eigvec
+
+
+def _eval_basis_host_f64(kernel: RiemannKernel, params):
+    """cfg.eigensolver="host_f64": exact f64 sparse shift-invert basis on the
+    host (ops.eigen.host_f64_smallest) for spectral bands below the f32
+    assembly noise floor; identical post-processing to the jit path, done in
+    f64 before the single f32 cast. Eval-time only (one host sync for the
+    bandwidth value), single-device kernels."""
+    import numpy as np
+
+    from ..ops.eigen import host_f64_smallest
+
+    gb = float(jax.device_get(kernel.graphbandwidth(params)))
+    m = min(kernel.num_modes, kernel.graph.num_nodes)
+    eigval, eigvec, deg = host_f64_smallest(kernel.graph, gb, m)
+    eigval = np.asarray(eigval).copy()
+    eigval[0] = 0.0
+    eigvec = np.asarray(eigvec) / np.sqrt(deg)[:, None]
+    eigvec = eigvec / np.linalg.norm(eigvec, axis=0, keepdims=True)
+    return (
+        jnp.asarray(eigval, jnp.float32),
+        jnp.asarray(eigvec, jnp.float32),
+    )
 
 
 class RiemannMaternKernel(RiemannKernel):

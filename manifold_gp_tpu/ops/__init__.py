@@ -1,6 +1,11 @@
 from .bump import bump_function
 from .cg import cg_raw, cg_solve
-from .eigen import chebyshev_filtered_smallest, lanczos_eigh, lobpcg_smallest
+from .eigen import (
+    chebyshev_filtered_smallest,
+    host_f64_smallest,
+    lanczos_eigh,
+    lobpcg_smallest,
+)
 from .engine import average_variance, densify, inv_quad, logdet, solve
 from .graph import SparseGraph, build_graph, coalesce_mean, graph_from_edges
 from .knn import NearestNeighbors, knn_search
@@ -28,6 +33,7 @@ __all__ = [
     "cg_raw",
     "cg_solve",
     "chebyshev_filtered_smallest",
+    "host_f64_smallest",
     "lanczos_eigh",
     "lobpcg_smallest",
     "average_variance",
