@@ -109,13 +109,15 @@ def run_campaign(
     nu: int = 2,
     metrics_path=None,
     manifold: str = "torus",
+    chunk_size: int = 50,
 ):
     """Full train->eval->posterior cycle at scale; returns a result dict.
 
     ``manifold``: "torus" (default — well-posed spectrum at scale, see
-    ``torus_points``) or "curve" (the BASELINE config-5 1-D curve; its
-    basis is f32-unresolvable past ~100k nodes and the posterior row will
-    reflect that — kept for the SpMV/build lineage)."""
+    ``torus_points``) or "curve" (the BASELINE config-5 1-D curve; its low
+    spectral band sits below the f32 assembly noise floor past ~100k nodes,
+    so its basis routes through the host f64 sparse shift-invert solver —
+    see the cfg below)."""
     import jax
     import jax.numpy as jnp
 
@@ -181,11 +183,16 @@ def run_campaign(
     test_x_s = test_x / eps
 
     # 2-D manifolds at scale have RCM band ~ sqrt(n): the 262k torus panels
-    # are S=22 column blocks wide (2.7 GB f32), and one training step keeps
-    # ~8 panel-cotangent instances live across the solve VJPs — 33 GB in
-    # f32, OOM on a 16 GB chip. bf16 panels (solve-level accuracy pinned by
-    # tests/test_bf16_solve.py) halve every panel-shaped buffer; 64 probes
-    # halve the probe blocks. 1-D graphs (curve) are S=3 and run f32.
+    # are S=22 column blocks wide (2.7 GB f32), and under panel-space solve
+    # VJPs one training step kept ~8 panel-cotangent instances live — 33 GB
+    # in f32, OOM on a 16 GB chip (round-5 initial finding; 229k was the
+    # ceiling even with bf16 panels). solve_cotangent="edge" contracts every
+    # solve cotangent to the [M]+[N] coefficient vectors inside the VJP
+    # (config.InferenceConfig.solve_cotangent), bounding backward memory at
+    # ONE transient panel buffer — 2-D manifolds now train at full scale.
+    # bf16 panels (solve-level accuracy pinned by tests/test_bf16_solve.py)
+    # still halve the forward panel stream. 1-D graphs (curve) are S=3 and
+    # run f32.
     two_d = manifold == "torus"
     cfg = InferenceConfig(
         max_cholesky=0,
@@ -196,11 +203,21 @@ def run_campaign(
         cg_max_iter=200,
         precond_type="pivchol",
         spmv_dtype="bfloat16" if two_d else "float32",
-        # The curve's low spectral band is a near-degenerate cluster ~1e-9
-        # of lambda_max past ~100k nodes: LOBPCG-200 captured 28% of the
-        # target; the Chebyshev-filtered solver tracks an f64 shift-invert
-        # oracle to ~1e-5 on eigenvalues (tools/r5 diagnosis, round 5).
-        eigensolver="chebyshev",
+        solve_cotangent="edge" if two_d else "panel",
+        # edge cotangents require the block-ELL layout; 2-D RCM bands are
+        # never DIA-narrow at scale, but pin it so smoke-scale runs cannot
+        # drift onto the band format
+        use_dia=not two_d,
+        # Torus (2-D): the low band is well-separated — the on-device
+        # Chebyshev-filtered solver resolves it in f32. Curve (1-D): the low
+        # band sits BELOW the f32 assembly noise floor (~1e-7 lambda_max)
+        # past ~100k nodes, where no f32 solver can see it (LOBPCG-200
+        # captured 28% of a smooth target; ChebFSI captures the span but the
+        # assembly noise itself scrambles it at 262k) — use the host f64
+        # sparse shift-invert basis (ops.eigen.host_f64_smallest), the exact
+        # analogue of the reference's host-side dense eigh at a scale/
+        # precision that route cannot reach.
+        eigensolver="chebyshev" if two_d else "host_f64",
     )
     # The reference's data-driven bandwidth floor (identical cell in every
     # notebook, e.g. 1D supervised nb "74cd3ae2"; see examples/run_1d.py):
@@ -248,8 +265,11 @@ def run_campaign(
 
     metrics = MetricsRecorder(path=metrics_path, verbose=False)
     # v2: the bandwidth-floor constraint changed the raw-parameter transform,
-    # so v1 checkpoints are not resumable
-    ckpt = os.path.join(cache_dir, f"campaign_{n}_{k}_{seed}_v2.ckpt.npz")
+    # so v1 checkpoints are not resumable. Keyed by manifold too — a 262k
+    # curve and a 262k torus run must not share a resume file.
+    ckpt = os.path.join(
+        cache_dir, f"campaign_{manifold}_{n}_{k}_{seed}_v2.ckpt.npz"
+    )
     t0 = time.perf_counter()
     params, loss, history = manifold_informed_train(
         model,
@@ -266,6 +286,7 @@ def run_campaign(
         checkpoint_every=checkpoint_every,
         resume=resume,
         precond_refresh=precond_refresh,
+        chunk_size=chunk_size,
     )
     train_s = time.perf_counter() - t0
     timings["train_s"] = round(train_s, 1)
@@ -338,6 +359,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--metrics", default=None,
                     help="JSONL per-epoch metrics path")
+    ap.add_argument("--chunk-size", type=int, default=50,
+                    help="epochs per lax.scan dispatch; lower for heavy "
+                         "per-epoch configs on tunneled TPU runtimes (a "
+                         "60s+ single dispatch is liable to be killed by "
+                         "the tunnel — the 262k torus needs ~5)")
     args = ap.parse_args()
 
     import jax
@@ -366,6 +392,7 @@ def main():
         resume=not args.no_resume,
         metrics_path=args.metrics,
         manifold=args.manifold,
+        chunk_size=args.chunk_size,
     )
     print(json.dumps(result))
 

@@ -109,6 +109,18 @@ class InferenceConfig:
     # "einsum" (portable XLA path, identical numerics), or "auto" (pallas on
     # TPU backends, einsum elsewhere — resolved at kernel construction).
     spmv_kernel: str = "auto"
+    # Cotangent space for the fused-SpMV solve VJPs (block-ELL path only):
+    # "panel" (default) accumulates solve cotangents in panel space
+    # ([nrb, 128, S*128] per live instance — fine for 1-D graphs where
+    # S~3); "edge" contracts each solve's panel cotangent to edge space
+    # ([M]+[N], ~30 MB at 262k) inside the VJP
+    # (ops.pallas_spmv.make_matvec_edge_ad), bounding peak backward memory
+    # at ONE transient panel buffer. REQUIRED for 2-D manifolds at scale:
+    # a 262k torus graph has S=22 (2.7 GB f32 panels) and a training step
+    # keeps ~8 panel cotangents live under "panel" — 33 GB, OOM on a
+    # 16 GB chip. Gradients agree with "panel" to f32 roundoff
+    # (tests/test_edge_cotangent.py).
+    solve_cotangent: str = "panel"
     # VanillaGP (Euclidean BBMM regime): up to this many training points the
     # iterative solves materialize the dense [n, n] covariance once per loss
     # eval (one big MXU gram; 1.6 GB f32 at n=20k); above it the matvecs

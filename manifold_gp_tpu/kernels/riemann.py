@@ -549,6 +549,7 @@ class RiemannMaternKernel(RiemannKernel):
                         jnp.bfloat16 if self.cfg.spmv_dtype == "bfloat16" else None
                     ),
                     impl="pallas" if self.use_pallas else "einsum",
+                    grad_space=self.cfg.solve_cotangent,
                 )
             from ..parallel.spmv import make_sharded_matern_precision_matvec
 
@@ -585,4 +586,5 @@ class RiemannMaternKernel(RiemannKernel):
             block=block,
             permuted_io=permuted_io,
             pallas=self.use_pallas and block is not None,
+            grad_space=self.cfg.solve_cotangent,
         )

@@ -44,17 +44,75 @@ def make_matern_precision_matvec(
     block=None,
     permuted_io: bool = False,
     pallas: bool = False,
+    grad_space: str = "panel",
 ) -> Callable:
     """Q = (2 nu / l^2 I + L)^nu (with randomwalk symmetrization).
 
     ``permuted_io`` (block path): the closure maps padded-RCM-space vectors
     [Np, B] -> [Np, B]; callers hoist the permutation to the solve boundary
     (see ops.block_sparse.permute_in/out).
+
+    ``grad_space`` (block-ELL path): "panel" (default) or "edge" — see
+    ``config.InferenceConfig.solve_cotangent``. Edge mode bounds the solve
+    VJPs' backward memory at one transient panel buffer by contracting each
+    cotangent to the [M]+[N] coefficient vectors immediately
+    (ops.pallas_spmv.make_matvec_edge_ad).
     """
     diag = jnp.square(jnp.reshape(lengthscale, ())) / (2.0 * nu)
     deg_full = coeffs.deg
     if permuted_io:
         deg_full = deg_full[block[0].perm]
+
+    if block is not None and grad_space == "edge":
+        import jax
+
+        from .block_sparse import BlockLayout
+        from .pallas_spmv import make_matvec_edge_ad
+        from .sparse_formats import assemble, permute_in, permute_out
+
+        layout, blocks = block
+        if not isinstance(layout, BlockLayout):
+            raise ValueError(
+                "solve_cotangent='edge' requires the block-ELL layout "
+                "(DIA bands assemble per-diagonal, not per-panel)"
+            )
+        if normalization not in ("randomwalk", "symmetric"):
+            raise ValueError(
+                "normalization must be 'randomwalk' or 'symmetric', got "
+                f"{normalization!r}"
+            )
+        if blocks is None or isinstance(blocks, jnp.ndarray):
+            panel_dtype = None if blocks is None else (
+                "float32x3" if blocks.ndim == 4 else blocks.dtype
+            )
+        else:
+            panel_dtype = blocks
+        shift = 2.0 * nu / jnp.square(jnp.reshape(lengthscale, ()))
+        diag_s = coeffs.diag + shift
+        # Assembled ONCE per coefficient set; stop_gradient so every solve's
+        # panel cotangent is dead (the edge-space VJP carries the gradient).
+        qblocks = jax.lax.stop_gradient(
+            assemble(layout, diag_s, coeffs.triu, dtype=panel_dtype)
+        )
+        mv_edge = make_matvec_edge_ad(layout, use_pallas=pallas)
+        dsq_p = jnp.sqrt(deg_full if permuted_io else coeffs.deg[layout.perm])
+
+        def matvec(v):
+            squeeze = v.ndim == 1
+            out = v[:, None] if squeeze else v
+            if not permuted_io:
+                out = permute_in(layout, out)
+            if normalization == "randomwalk":
+                out = out * dsq_p[:, None]
+            for _ in range(nu):
+                out = mv_edge(qblocks, diag_s, coeffs.triu, out)
+            if normalization == "randomwalk":
+                out = out * dsq_p[:, None]
+            if not permuted_io:
+                out = permute_out(layout, out)
+            return out[:, 0] if squeeze else out
+
+        return matvec
 
     if block is not None:
         # Fused block path. The nu-fold affine recursion

@@ -435,6 +435,30 @@ def block_bwd_blocks_pallas_streaming(
     )
 
 
+def _run_block_kernel(layout: BlockLayout, blocks, pv, interpret: bool = False):
+    """Trace-time kernel dispatch shared by the AD wrappers: VMEM-resident
+    for small operands, HBM-streaming above the budget (with the lane-dim
+    padding Mosaic DMA slices require)."""
+    # Physical VMEM footprint: the lane (batch) dim is tiled to 128, so
+    # a [1M, 1] operand really occupies [1M, 128] floats in VMEM.
+    phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
+    if phys <= _OPERAND_VMEM_BUDGET:
+        return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
+    # Mosaic DMA slices need a 128-multiple lane (batch) dim: pad the RHS
+    # up to the lane width and slice the result, so batch-1 quad matvecs,
+    # 100-probe average_variance solves and odd-width Schur inner solves
+    # all ride the streaming kernel at large N (the lanes are
+    # physically occupied either way — padding costs one [Np, Bp] copy,
+    # not extra DMA lanes, while the einsum fallback re-materializes the
+    # full gathered operand through HBM).
+    b = pv.shape[1]
+    pad = -b % BLOCK
+    if pad:
+        pv = jnp.pad(pv, ((0, 0), (0, pad)))
+    out = block_matvec_pallas_streaming(layout, blocks, pv, interpret=interpret)
+    return out[:, :b] if pad else out
+
+
 def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     """Differentiable Pallas block matvec: (blocks, pv) -> L @ pv in permuted
     space, with a custom VJP so the *training* hot loop can run the fused
@@ -460,24 +484,7 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     """
 
     def run_kernel(blocks, pv):
-        # Physical VMEM footprint: the lane (batch) dim is tiled to 128, so
-        # a [1M, 1] operand really occupies [1M, 128] floats in VMEM.
-        phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
-        if phys <= _OPERAND_VMEM_BUDGET:
-            return block_matvec_pallas(layout, blocks, pv, interpret=interpret)
-        # Mosaic DMA slices need a 128-multiple lane (batch) dim: pad the RHS
-        # up to the lane width and slice the result, so batch-1 quad matvecs,
-        # 100-probe average_variance solves and odd-width Schur inner solves
-        # all ride the streaming kernel at large N (the lanes are
-        # physically occupied either way — padding costs one [Np, Bp] copy,
-        # not extra DMA lanes, while the einsum fallback re-materializes the
-        # full gathered operand through HBM).
-        b = pv.shape[1]
-        pad = -b % BLOCK
-        if pad:
-            pv = jnp.pad(pv, ((0, 0), (0, pad)))
-        out = block_matvec_pallas_streaming(layout, blocks, pv, interpret=interpret)
-        return out[:, :b] if pad else out
+        return _run_block_kernel(layout, blocks, pv, interpret=interpret)
 
     @jax.custom_vjp
     def mv_pallas(blocks, pv):
@@ -533,6 +540,88 @@ def make_matvec_ad(layout: BlockLayout, interpret: bool = False):
     mv_pallas.defvjp(fwd, bwd)
 
     return mv_pallas
+
+
+def make_matvec_edge_ad(
+    layout: BlockLayout, interpret: bool = False, use_pallas: bool = True
+):
+    """Differentiable block matvec with EDGE-SPACE cotangents:
+    ``mv(qblocks, diag, triu, pv)``.
+
+    Caller contract: ``qblocks == assemble(layout, diag, triu, dtype=...)``
+    (up to the panel dtype cast) and the caller passes the panel buffer
+    through ``stop_gradient`` — the forward uses only ``qblocks`` while the
+    VJP claims the mathematically equivalent dependence on (diag, triu).
+
+    Why (round 5, the 262k 2-D memory wall): with ``make_matvec_ad`` every
+    solve VJP in a training step produces a PANEL-shaped cotangent
+    ([nrb, 128, S*128] — 2.7 GB f32 at a 262k S=22 torus graph) that stays
+    live until the accumulated sum finally backs through ``assemble``;
+    ~8 such instances (quad + SLQ probes + Hutchinson gradient solves x nu
+    chained applies) put a single training step at 33 GB on a 16 GB chip.
+    Here each solve's backward contracts its panel cotangent to edge space
+    IMMEDIATELY — ``bar_triu [M]``/``bar_diag [N]`` (~30 MB at 262k) via the
+    transpose of ``assemble``'s scatter (a gather at ``edge_flat``/
+    ``diag_flat``) — so cross-solve accumulation happens in O(M + N) memory
+    and at most one transient panel-shaped buffer is live at a time.
+
+    The panel cotangent itself reuses the fused backward kernel
+    (``block_bwd_blocks_pallas_streaming``) at large N and the resident
+    gather-einsum otherwise, always accumulated in f32 (for bf16/x3 panels
+    this is slightly MORE accurate than the panel path's bf16 cotangent).
+    bar for ``qblocks`` is a broadcast zero (dead under the caller's
+    stop_gradient; XLA folds it).
+    """
+
+    def _run(qblocks, pv):
+        if use_pallas:
+            return _run_block_kernel(layout, qblocks, pv, interpret=interpret)
+        from .block_sparse import matvec_permuted
+
+        return matvec_permuted(layout, qblocks, pv)
+
+    @jax.custom_vjp
+    def mv_edge(qblocks, diag, triu, pv):
+        return _run(qblocks, pv)
+
+    def fwd(qblocks, diag, triu, pv):
+        return _run(qblocks, pv), (qblocks, pv)
+
+    def bwd(res, g):
+        qblocks, pv = res
+        g = g.astype(pv.dtype)
+        # Symmetric operator: the adjoint matvec is the forward matvec (same
+        # reasoning as make_matvec_ad's bwd / ops.cg:84-86).
+        bar_pv = _run(qblocks, g)
+        phys = pv.shape[0] * max(pv.shape[1], 128) * pv.dtype.itemsize
+        if use_pallas and phys > _OPERAND_VMEM_BUDGET:
+            pad = -pv.shape[1] % BLOCK
+            gp, pvp = g, pv
+            if pad:
+                gp = jnp.pad(g, ((0, 0), (0, pad)))
+                pvp = jnp.pad(pv, ((0, 0), (0, pad)))
+            bar_blocks = block_bwd_blocks_pallas_streaming(
+                layout, gp, pvp, out_dtype=jnp.float32, interpret=interpret
+            )
+        else:
+            grouped = pv.reshape(layout.num_row_blocks, BLOCK, -1)
+            cb = grouped[layout.block_col].reshape(
+                layout.num_row_blocks, layout.max_blocks * BLOCK, -1
+            )
+            gg = g.reshape(layout.num_row_blocks, BLOCK, -1)
+            bar_blocks = jnp.einsum(
+                "rib,rkb->rik", gg, cb, precision=jax.lax.Precision.HIGHEST
+            )
+        flat = bar_blocks.reshape(-1)
+        e = flat[layout.edge_flat]  # [2M]
+        m = e.shape[0] // 2
+        # assemble scatters (-triu, -triu, diag): transpose accordingly.
+        bar_triu = -(e[:m] + e[m:])
+        bar_diag = flat[layout.diag_flat]
+        return jnp.zeros_like(qblocks), bar_diag, bar_triu, bar_pv
+
+    mv_edge.defvjp(fwd, bwd)
+    return mv_edge
 
 
 def matvec(layout: BlockLayout, blocks: jnp.ndarray, v: jnp.ndarray,

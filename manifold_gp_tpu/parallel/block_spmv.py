@@ -456,6 +456,115 @@ def make_sharded_block_matvec_ad(
     return mv
 
 
+def make_sharded_block_matvec_edge_ad(
+    tables: MeshBlockTables,
+    impl: str = "einsum",
+    interpret: bool = False,
+    exchange: str = "auto",
+    schedule: str = "auto",
+):
+    """Row-sharded fused matvec with EDGE-SPACE cotangents:
+    ``mv(qblocks, diag, triu, pv)`` — the mesh twin of
+    ``ops.pallas_spmv.make_matvec_edge_ad`` (see its docstring and
+    ``config.InferenceConfig.solve_cotangent`` for the memory rationale:
+    panel-space solve cotangents keep ~8 [lrb, 128, S*128] instances live
+    per chip at a 2-D 262k graph — edge space bounds that at ONE transient).
+
+    Caller contract: ``qblocks == assemble_sharded(tables, diag, triu,
+    dtype=...)`` and the panel buffer passes through ``stop_gradient``.
+    The backward contracts each shard's panel cotangent to the replicated
+    coefficient vectors via the transpose of ``assemble_sharded``'s scatter
+    (a gather at the per-shard ``edge_pos``/``diag_pos`` tables followed by
+    a scatter-add over edge/node ids and one ``psum`` — each directed edge
+    copy lives in exactly one shard, so the psum is a disjoint union, not a
+    reduction of duplicates).
+    """
+    mesh = tables.mesh
+    force_gather = exchange == "gather"
+
+    def primal(blocks, pv):
+        def body(bc, blk, pvb):
+            pv_op, bcl = _exchange(tables, pvb, bc, force_gather)
+            return _local_matvec(
+                tables, bcl, blk, pv_op, impl, interpret, schedule
+            )
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(NODE_AXIS, None), P(NODE_AXIS, None, None), P(NODE_AXIS, None)),
+            out_specs=P(NODE_AXIS, None),
+            check_vma=False,
+        )(tables.block_col, blocks, pv)
+
+    def bwd_edge(g, pv, n_nodes, n_edges):
+        def body(bc, gb, pvb, edge_sel, edge_pos, diag_sel, diag_pos):
+            pv_op, bcl = _exchange(tables, pvb, bc, force_gather)
+            bar = _local_bwd_blocks(
+                tables, bcl, gb, pv_op, jnp.float32, impl, interpret
+            )
+            # dummy slot ``lsize`` absorbs the padding gathers (same
+            # convention as assemble_sharded's scatter)
+            flat = jnp.concatenate(
+                [bar.reshape(-1), jnp.zeros((1,), bar.dtype)]
+            )
+            es, ep = edge_sel[0], edge_pos[0]
+            ds, dp = diag_sel[0], diag_pos[0]
+            ev = flat[ep] * (es >= 0)
+            dv = flat[dp] * (ds >= 0)
+            # assemble scatters (-triu) at edge slots, (+diag) at diagonals
+            bar_triu = (
+                jnp.zeros((n_edges,), jnp.float32)
+                .at[jnp.clip(es, 0)]
+                .add(-ev)
+            )
+            bar_diag = (
+                jnp.zeros((n_nodes,), jnp.float32)
+                .at[jnp.clip(ds, 0)]
+                .add(dv)
+            )
+            return (
+                jax.lax.psum(bar_diag, NODE_AXIS),
+                jax.lax.psum(bar_triu, NODE_AXIS),
+            )
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P(NODE_AXIS, None),
+                P(NODE_AXIS, None),
+                P(NODE_AXIS, None),
+                P(NODE_AXIS, None),
+                P(NODE_AXIS, None),
+                P(NODE_AXIS, None),
+                P(NODE_AXIS, None),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(
+            tables.block_col, g, pv, tables.edge_sel, tables.edge_pos,
+            tables.diag_sel, tables.diag_pos,
+        )
+
+    @jax.custom_vjp
+    def mv(qblocks, diag, triu, pv):
+        return primal(qblocks, pv)
+
+    def fwd(qblocks, diag, triu, pv):
+        return primal(qblocks, pv), (qblocks, diag.shape[0], triu.shape[0], pv)
+
+    def bwd(res, g):
+        qblocks, n_nodes, n_edges, pv = res
+        g = g.astype(pv.dtype)
+        bar_pv = primal(qblocks, g)
+        bar_diag, bar_triu = bwd_edge(g, pv, n_nodes, n_edges)
+        return jnp.zeros_like(qblocks), bar_diag, bar_triu, bar_pv
+
+    mv.defvjp(fwd, bwd)
+    return mv
+
+
 def _check_normalization(normalization: str):
     if normalization not in ("randomwalk", "symmetric"):
         raise ValueError(
@@ -535,6 +644,7 @@ def make_sharded_matern_precision_matvec_fused(
     dtype=None,
     impl: str = "einsum",
     interpret: bool = False,
+    grad_space: str = "panel",
 ):
     """Row-sharded fused Matérn precision matvec over permuted padded rows.
 
@@ -544,7 +654,41 @@ def make_sharded_matern_precision_matvec_fused(
     coefficient change so each of the nu inner applications is ONE bare
     sharded fused matvec. Vectors: [rows, B], zero padding rows (padding
     degree fill 1.0 keeps the sqrt/mul a no-op there).
+
+    ``grad_space``: "panel" (default) or "edge" — edge-space solve
+    cotangents via ``make_sharded_block_matvec_edge_ad`` (see
+    ``config.InferenceConfig.solve_cotangent``).
     """
+    if grad_space == "edge":
+        _check_normalization(normalization)
+        shift = 2.0 * nu / jnp.square(jnp.reshape(lengthscale, ()))
+        diag_s = coeffs.diag + shift
+        qblocks = jax.lax.stop_gradient(
+            assemble_sharded(tables, diag_s, coeffs.triu, dtype=dtype)
+        )
+        mv_edge = make_sharded_block_matvec_edge_ad(
+            tables, impl=impl, interpret=interpret
+        )
+        dsq_p = (
+            jnp.sqrt(tables.gather_coeff(coeffs.deg, fill=1.0))
+            if normalization == "randomwalk"
+            else None
+        )
+        sharding = tables.node_sharding(2)
+
+        def matvec(v):
+            squeeze = v.ndim == 1
+            out = v[:, None] if squeeze else v
+            out = jax.lax.with_sharding_constraint(out, sharding)
+            if normalization == "randomwalk":
+                out = out * dsq_p[:, None]
+            for _ in range(nu):
+                out = mv_edge(qblocks, diag_s, coeffs.triu, out)
+            if normalization == "randomwalk":
+                out = out * dsq_p[:, None]
+            return out[:, 0] if squeeze else out
+
+        return matvec
     qblocks, dsq_p = sharded_matern_precision_operands(
         tables, coeffs, nu, lengthscale, dtype=dtype, normalization=normalization
     )
